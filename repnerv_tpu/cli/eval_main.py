@@ -1,0 +1,132 @@
+"""Eval/compress CLI — argv-compatible with reference main_eval.py.
+
+Flow (reference main_eval.py:146-827): load the right checkpoint for the
+branch/finetune combination, prune -> [finetune] -> switch to deploy ->
+quantize + Huffman/BPP, then measure PSNR/MS-SSIM/FPS over the validation
+frames and optionally dump predictions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..compress.pipeline import compress
+from ..config import TrainConfig
+from ..data.frames import make_frame_store
+from ..models.embedding import positional_encoding
+from ..models.generator import apply_generator
+from ..ops.metrics import round_tensor
+from ..train import checkpoint as ckpt
+from ..train.loop import evaluate, make_eval_step
+from .args import args_to_config, build_parser
+
+
+def run_eval(cfg: TrainConfig) -> dict:
+    outf = os.path.join(cfg.outf, cfg.suffix) if cfg.suffix else cfg.outf
+    store = make_frame_store(cfg.data, split="train")
+    val_store = make_frame_store(cfg.data, split="val")
+
+    reparam = cfg.model.branch_type != "NeRV_vanilla"
+    # checkpoint selection (main_eval.py:214-237, 551-611)
+    if reparam and not cfg.finetune:
+        path = os.path.join(outf, "model_latest_deploy.pth")
+        load_cfg = dataclasses.replace(cfg.model, deploy=True)
+    else:
+        path = os.path.join(outf, "model_latest.pth")
+        load_cfg = dataclasses.replace(cfg.model, deploy=False)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"checkpoint not found: {path}")
+    params, extra = ckpt.load_pth(path, load_cfg)
+    print(f"loaded {path} (branch={cfg.model.branch_type}, deploy={load_cfg.deploy})")
+
+    work_cfg = dataclasses.replace(cfg, model=load_cfg)
+    params, report = compress(
+        params,
+        work_cfg,
+        store,
+        max_steps_per_epoch=10 if cfg.debug else None,
+    )
+    final_cfg = dataclasses.replace(
+        cfg.model, deploy=reparam or load_cfg.deploy
+    )
+    if not reparam:
+        final_cfg = load_cfg
+
+    # quality + fps measurement (main_eval.py:738-827)
+    eval_cfg = dataclasses.replace(cfg, model=final_cfg)
+    eval_step = make_eval_step(eval_cfg, with_msssim=val_store.hw[0] >= 176)
+    val_psnr, val_msssim = evaluate(
+        params, eval_step, val_store, eval_cfg, max_steps=10 if cfg.debug else None
+    )
+
+    @jax.jit
+    def decode(p, t):
+        e = positional_encoding(t, final_cfg.embed)
+        out = apply_generator(p, e, final_cfg, train=False)[-1]
+        return out, jnp.sum(out)
+
+    bsz = cfg.data.batch_size
+    t = jnp.linspace(0.0, 0.95, bsz)
+    float(decode(params, t)[1])  # compile
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(decode(params, t + i * 1e-7)[1])
+        times.append(time.perf_counter() - t0)
+    fps = bsz / min(times)
+
+    if cfg.dump_images:
+        from PIL import Image
+
+        vis = os.path.join(outf, "visualize")
+        os.makedirs(vis, exist_ok=True)
+        rows = val_store.sample_indices()
+        for n in range(min(len(rows), 16)):
+            out, _ = decode(params, jnp.asarray([val_store.t[rows[n]]] * bsz))
+            img = np.clip(np.asarray(out[0]) * 255, 0, 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(vis, f"pred_{n}.png"))
+
+    result = {
+        "val_psnr": [float(x) for x in val_psnr],
+        "val_msssim": [float(x) for x in val_msssim],
+        "fps": fps,
+        "prune_ratio": report.prune_ratio_actual,
+        "quant_bit": report.quant_bit,
+        "avg_bits": report.avg_bits,
+        "efficiency": report.efficiency,
+        "bpp": report.bpp,
+    }
+    fname = (
+        f"finetune_e{cfg.finetune_epochs}_pr{cfg.prune_ratio:.2f}_q{cfg.quant_bit if cfg.quant_bit != -1 else 'none'}.txt"
+        if cfg.finetune
+        else f"only_prune{cfg.prune_ratio:.2f}_quant{cfg.quant_bit if cfg.quant_bit > 0 else 'full'}.txt"
+    )
+    msg = (
+        f"PSNR: {round_tensor(val_psnr, 2)}, MSSSIM: {round_tensor(val_msssim, 4)} "
+        f"FPS: {fps:.2f} BPP: {report.bpp:.6f} "
+        f"Entropy encoding efficiency for bit {cfg.quant_bit}: {report.efficiency}"
+    )
+    print(msg)
+    os.makedirs(outf, exist_ok=True)
+    with open(os.path.join(outf, fname), "a") as f:
+        f.write(msg + "\n" + json.dumps(result) + "\n")
+    return result
+
+
+def main(argv=None):
+    parser = build_parser(eval_mode=True)
+    args = parser.parse_args(argv)
+    cfg = args_to_config(args, eval_mode=True)
+    run_eval(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Train CLI — argv-compatible with reference main_train.py.
+
+Flow (reference main_train.py:159-373): build PE + Generator, Adam, frame
+store; per epoch run the jitted whole-batch train loop, log PSNR/MS-SSIM,
+periodically evaluate, save latest/train-best/val-best checkpoints, and for
+reparam branches also save per-epoch deploy-state snapshots.
+
+TPU deltas: one jitted step per GOP batch; optional mesh data-parallelism
+(``--mesh_shape``); genuinely resumable Orbax checkpoints alongside the
+``.pth`` parity files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from datetime import datetime
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainConfig
+from ..data.frames import make_frame_store
+from ..models.generator import generator_to_deploy, init_generator, param_count
+from ..ops.metrics import round_tensor
+from ..train import checkpoint as ckpt
+from ..train.loop import (
+    TrainState,
+    evaluate,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+    run_epoch,
+)
+from .args import args_to_config, build_parser, exp_id
+
+
+def log_line(outf: str, rank: int, msg: str):
+    print(msg, flush=True)
+    with open(os.path.join(outf, f"rank{rank}.txt"), "a") as f:
+        f.write(msg + "\n")
+
+
+def run_training(cfg: TrainConfig) -> dict:
+    outf = os.path.join(cfg.outf, cfg.suffix) if cfg.suffix else cfg.outf
+    if cfg.overwrite and os.path.isdir(outf):
+        shutil.rmtree(outf)
+    os.makedirs(outf, exist_ok=True)
+    with open(os.path.join(outf, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    store = make_frame_store(cfg.data, split="train")
+    val_store = make_frame_store(cfg.data, split="val")
+    steps_per_epoch = max(store.num_samples // cfg.data.batch_size, 1)
+
+    key = jax.random.PRNGKey(cfg.manual_seed)
+    state = init_train_state(key, cfg)
+    n_params = param_count(state.params)
+    log_line(outf, 0, f"{exp_id(cfg)}\nModel Params: {n_params / 1e6}M")
+
+    # TensorBoard scalars (reference main_train.py:186,275-283,314-317)
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(
+            os.path.join(outf, f"param_{n_params / 1e6}M", "tensorboard")
+        )
+    except Exception:
+        writer = None
+
+    use_mesh = bool(cfg.mesh_shape) and len(jax.devices()) > 1
+    if use_mesh:
+        from ..parallel.sharding import (
+            make_mesh,
+            make_sharded_train_state,
+            make_sharded_train_step,
+        )
+
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        state = make_sharded_train_state(key, cfg, mesh)
+        train_step = make_sharded_train_step(cfg, steps_per_epoch, mesh)
+    else:
+        train_step = make_train_step(cfg, steps_per_epoch)
+    eval_step = make_eval_step(cfg)
+
+    with_msssim = store.hw[0] >= 176
+    bests = {
+        "train_best_psnr": 0.0,
+        "train_best_msssim": 0.0,
+        "val_best_psnr": 0.0,
+        "val_best_msssim": 0.0,
+    }
+    start = datetime.now()
+    max_steps = 10 if cfg.debug else None
+    reparam = cfg.model.branch_type != "NeRV_vanilla" and not cfg.model.deploy
+
+    for epoch in range(cfg.epochs):
+        ep_start = datetime.now()
+        state, m = run_epoch(state, train_step, store, cfg, epoch, max_steps=max_steps)
+        is_train_best = m.psnr[-1] > bests["train_best_psnr"]
+        bests["train_best_psnr"] = max(bests["train_best_psnr"], float(m.psnr[-1]))
+        bests["train_best_msssim"] = max(bests["train_best_msssim"], float(m.msssim[-1]))
+        if writer is not None:
+            h, w = [d * int(np.prod(cfg.model.strides)) for d in cfg.model.fc_hwd[:2]]
+            tag = f"{h}X{w}_gap{cfg.data.frame_gap}"
+            writer.add_scalar(f"Train/PSNR_{tag}", float(m.psnr[-1]), epoch + 1)
+            writer.add_scalar(f"Train/MSSSIM_{tag}", float(m.msssim[-1]), epoch + 1)
+            writer.add_scalar(f"Train/best_PSNR_{tag}", bests["train_best_psnr"], epoch + 1)
+            writer.add_scalar(f"Train/best_MSSSIM_{tag}", bests["train_best_msssim"], epoch + 1)
+            writer.add_scalar("Train/lr", m.lr, epoch + 1)
+        ep_s = (datetime.now() - ep_start).total_seconds()
+        avg_s = (datetime.now() - start).total_seconds() / (epoch + 1)
+        log_line(
+            outf,
+            0,
+            f"[{datetime.now():%Y/%m/%d %H:%M:%S}] Epoch[{epoch + 1}/{cfg.epochs}] "
+            f"lr:{m.lr:.2e} PSNR: {round_tensor(m.psnr, 2)} "
+            f"MSSSIM: {round_tensor(m.msssim, 4)} "
+            f"Time/epoch: Current:{ep_s:.2f} Average:{avg_s:.2f}",
+        )
+
+        extra = {"epoch": epoch + 1, **bests}
+        if (epoch + 1) % cfg.eval_freq == 0 or epoch > cfg.epochs - 10:
+            val_psnr, val_msssim = evaluate(
+                state.params, eval_step, val_store, cfg, max_steps=max_steps
+            )
+            is_val_best = val_psnr[-1] > bests["val_best_psnr"]
+            bests["val_best_psnr"] = max(bests["val_best_psnr"], float(val_psnr[-1]))
+            bests["val_best_msssim"] = max(bests["val_best_msssim"], float(val_msssim[-1]))
+            if writer is not None:
+                writer.add_scalar("Val/PSNR", float(val_psnr[-1]), epoch + 1)
+                writer.add_scalar("Val/MSSSIM", float(val_msssim[-1]), epoch + 1)
+                writer.add_scalar("Val/best_PSNR", bests["val_best_psnr"], epoch + 1)
+                writer.add_scalar("Val/best_MSSSIM", bests["val_best_msssim"], epoch + 1)
+            log_line(
+                outf,
+                0,
+                f"Eval at epoch {epoch + 1}: PSNR {round_tensor(val_psnr, 2)} "
+                f"MSSSIM {round_tensor(val_msssim, 4)}",
+            )
+            if is_val_best:
+                ckpt.save_pth(
+                    os.path.join(outf, "model_val_best.pth"),
+                    state.params,
+                    cfg.model,
+                    extra,
+                )
+
+        ckpt.save_pth(
+            os.path.join(outf, "model_latest.pth"), state.params, cfg.model, extra
+        )
+        if is_train_best:
+            ckpt.save_pth(
+                os.path.join(outf, "model_train_best.pth"),
+                state.params,
+                cfg.model,
+                extra,
+            )
+        if reparam:
+            # per-epoch deploy snapshot (reference main_train.py:332-351)
+            dep_params, dep_cfg = generator_to_deploy(state.params, cfg.model)
+            ckpt.save_pth(
+                os.path.join(outf, "model_latest_deploy.pth"),
+                dep_params,
+                dep_cfg,
+                extra,
+            )
+            if is_train_best:
+                ckpt.save_pth(
+                    os.path.join(outf, "model_train_best_deploy.pth"),
+                    dep_params,
+                    dep_cfg,
+                    extra,
+                )
+        # resumable native checkpoint
+        ckpt.save_orbax(
+            outf,
+            "orbax_latest",
+            {"params": state.params, "opt_state": state.opt_state, "step": int(state.step), "epoch": epoch + 1},
+        )
+
+    if reparam:
+        dep_params, _ = generator_to_deploy(state.params, cfg.model)
+        log_line(outf, 0, f"Deploy Rep-Model Params: {param_count(dep_params) / 1e6:.3f}M")
+    log_line(outf, 0, f"Training complete in: {datetime.now() - start}")
+    return {"outf": outf, "bests": bests, "params_m": n_params / 1e6}
+
+
+def main(argv=None):
+    parser = build_parser(eval_mode=False)
+    args = parser.parse_args(argv)
+    cfg = args_to_config(args, eval_mode=False)
+    run_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

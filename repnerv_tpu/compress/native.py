@@ -1,0 +1,126 @@
+"""ctypes loader for the native Huffman backend (native/huffman.cpp).
+
+Compiles the shared library on first use with g++ (cached next to the
+source); every entry point degrades to ``None`` so the pure-Python paths in
+huffman.py take over when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "huffman.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libhuffman.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("REPNERV_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.huffman_encode.restype = ctypes.c_longlong
+            lib.huffman_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_longlong,
+            ]
+            lib.huffman_decode.restype = ctypes.c_longlong
+            lib.huffman_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_longlong,
+            ]
+            _LIB = lib
+        except Exception:
+            _LIB = None
+        return _LIB
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_encode(
+    idx: np.ndarray, lens: np.ndarray, codes: np.ndarray
+) -> Optional[Tuple[bytes, int]]:
+    lib = _load()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int32)
+    lens = np.ascontiguousarray(lens, np.int32)
+    codes = np.ascontiguousarray(codes, np.uint64)
+    capacity = int(lens[idx].sum()) // 8 + 16
+    out = np.empty(capacity, np.uint8)
+    nbits = lib.huffman_encode(
+        _ptr(idx, ctypes.c_int32),
+        len(idx),
+        _ptr(lens, ctypes.c_int32),
+        _ptr(codes, ctypes.c_uint64),
+        _ptr(out, ctypes.c_uint8),
+        capacity,
+    )
+    if nbits < 0:
+        return None
+    nbytes = (int(nbits) + 7) // 8
+    return out[:nbytes].tobytes(), int(nbits)
+
+
+def native_decode(
+    blob: np.ndarray, lens: np.ndarray, codes: np.ndarray, n_symbols: int
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    blob = np.ascontiguousarray(blob, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    codes = np.ascontiguousarray(codes, np.uint64)
+    out = np.empty(n_symbols, np.int32)
+    produced = lib.huffman_decode(
+        _ptr(blob, ctypes.c_uint8),
+        len(blob),
+        _ptr(lens, ctypes.c_int32),
+        _ptr(codes, ctypes.c_uint64),
+        len(lens),
+        _ptr(out, ctypes.c_int32),
+        n_symbols,
+    )
+    if produced != n_symbols:
+        return None
+    return out

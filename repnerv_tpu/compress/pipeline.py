@@ -1,0 +1,161 @@
+"""Compression pipeline: prune -> [finetune] -> quantize -> Huffman/BPP -> eval.
+
+Parity target: ``eval()`` in reference main_eval.py:146-827, both paths:
+
+* PATH A (``finetune`` and prune_ratio < 1, main_eval.py:214-545): load the
+  train-state checkpoint, build global L1 masks over the branch-specific
+  target set, fine-tune with a FRESH Adam (stale optimizer state is skipped
+  after the structural change, main_eval.py:405-417), then switch reparam
+  blocks to deploy.
+* PATH B (no finetune, main_eval.py:551-648): reparam branches load the
+  deploy-state checkpoint and prune stem + ``rbr_reparam``; vanilla loads
+  the train state and prunes stem + ``branch``.
+* Quantization (main_eval.py:652-729): per-axis for 2D/4D weights, zero
+  skipping, Huffman table over nonzero codes, avg-bits / efficiency / BPP.
+
+Functional style: every stage maps params -> params (+ a report dict); the
+driver in cli/eval_main.py strings them together.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.frames import FrameStore
+from ..models.generator import generator_to_deploy
+from ..train.loop import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    run_epoch,
+)
+from .huffman import bits_per_pixel, entropy_stats
+from .prune import apply_masks, global_l1_masks, sparsity_report, verify_ratio
+from .quantize import quantize_per_tensor
+
+Params = Dict[str, Any]
+
+
+@dataclass
+class CompressionReport:
+    prune_ratio_requested: float = 1.0
+    prune_ratio_actual: float = 0.0
+    prune_ok: bool = True
+    quant_bit: int = -1
+    avg_bits: float = 0.0
+    efficiency: float = 0.0
+    total_bits: float = 0.0
+    bpp: float = 0.0
+    num_symbols: int = 0
+    finetune_epochs: int = 0
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+
+def prune_params(
+    params: Params, cfg: TrainConfig, report: CompressionReport
+) -> Tuple[Params, Any]:
+    """Global L1 prune; returns (masked params, masks)."""
+    if cfg.prune_ratio >= 1.0:
+        return params, None
+    masks, actual = global_l1_masks(
+        params, cfg.model.branch_type, cfg.prune_ratio
+    )
+    report.prune_ratio_requested = cfg.prune_ratio
+    report.prune_ratio_actual = actual
+    report.prune_ok = verify_ratio(actual, cfg.prune_ratio)
+    return apply_masks(params, masks), masks
+
+
+def finetune(
+    params: Params,
+    masks,
+    cfg: TrainConfig,
+    store: FrameStore,
+    report: CompressionReport,
+    max_steps_per_epoch: Optional[int] = None,
+) -> Params:
+    """Masked fine-tuning with a fresh Adam (main_eval.py:405-417,450-531).
+
+    The LR schedule runs over ``finetune_epochs`` with the same warmup/decay
+    machinery as training.
+    """
+    import dataclasses as dc
+
+    ft_cfg = dc.replace(cfg, epochs=cfg.finetune_epochs)
+    steps_per_epoch = max(store.num_samples // cfg.data.batch_size, 1)
+    train_step = make_train_step(ft_cfg, steps_per_epoch, with_msssim=False)
+    tx = make_optimizer(cfg)
+    # copy: the jitted step donates the state's buffers, and the caller's
+    # params must survive the fine-tune (they are not ours to delete)
+    params = jax.tree.map(jnp.copy, params)
+    state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+    for epoch in range(cfg.finetune_epochs):
+        state, _ = run_epoch(
+            state, train_step, store, ft_cfg, epoch, masks=masks,
+            max_steps=max_steps_per_epoch,
+        )
+    report.finetune_epochs = cfg.finetune_epochs
+    return state.params
+
+
+def quantize_params(
+    params: Params, cfg: TrainConfig, report: CompressionReport, frame_hw=None, n_frames=0
+) -> Params:
+    """Quantize every leaf, gather nonzero codes, compute entropy stats/BPP,
+    and return the dequantized params (main_eval.py:652-729)."""
+    if cfg.quant_bit == -1:
+        return params
+    leaves, treedef = jax.tree.flatten(params)
+    all_codes = []
+    new_leaves = []
+    for leaf in leaves:
+        v = np.asarray(leaf)
+        large = v.ndim in (2, 4)
+        q, dq = quantize_per_tensor(v, cfg.quant_bit, cfg.quant_axis if large else -1)
+        all_codes.append(q[v != 0].ravel())
+        new_leaves.append(jnp.asarray(dq))
+    codes = np.concatenate(all_codes) if all_codes else np.zeros(0)
+    stats = entropy_stats(codes.tolist(), cfg.quant_bit)
+    report.quant_bit = cfg.quant_bit
+    report.avg_bits = stats["avg_bits"]
+    report.efficiency = stats["efficiency"]
+    report.total_bits = stats["total_bits"]
+    report.num_symbols = int(stats["num_symbols"])
+    if frame_hw is not None and n_frames:
+        report.bpp = bits_per_pixel(stats["total_bits"], n_frames, *frame_hw)
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
+def compress(
+    params: Params,
+    cfg: TrainConfig,
+    store: Optional[FrameStore] = None,
+    *,
+    deploy_after: bool = True,
+    max_steps_per_epoch: Optional[int] = None,
+) -> Tuple[Params, CompressionReport]:
+    """Full PATH A/B pipeline over in-memory params.
+
+    The caller picks which checkpoint to load (train vs deploy state), as
+    main_eval.py does; this function then matches the corresponding path.
+    """
+    report = CompressionReport()
+    params, masks = prune_params(params, cfg, report)
+    if cfg.finetune and cfg.prune_ratio < 1.0:
+        assert store is not None, "finetune requires a frame store"
+        params = finetune(
+            params, masks, cfg, store, report, max_steps_per_epoch
+        )
+    if deploy_after and cfg.model.branch_type != "NeRV_vanilla" and not cfg.model.deploy:
+        params, _ = generator_to_deploy(params, cfg.model)
+    hw = store.hw if store is not None else None
+    n = store.frames.shape[0] if store is not None else 0
+    params = quantize_params(params, cfg, report, frame_hw=hw, n_frames=n)
+    return params, report

@@ -1,0 +1,180 @@
+"""Configuration for repnerv-tpu.
+
+One dataclass shared by the train and eval CLIs, replacing the duplicated
+~130-line argparse blocks of the reference (/root/reference/main_train.py:39-109
+and /root/reference/main_eval.py:31-104).  The CLI layer (repnerv_tpu/cli) keeps
+an argv-compatible flag surface, including ``@argfile`` support.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+BRANCH_TYPES = ("NeRV_vanilla", "ERB", "ACB", "RepVGG", "DBB", "ECB")
+ACT_TYPES = (
+    "relu",
+    "leaky",
+    "leaky01",
+    "relu6",
+    "gelu",
+    "sin",
+    "swish",
+    "softplus",
+    "hardswish",
+)
+NORM_TYPES = ("none", "bn", "in")
+LR_TYPES = ("cosine", "step", "const", "plateau")
+
+
+@dataclass
+class ModelConfig:
+    """Generator architecture (reference: model.py:571-609)."""
+
+    embed: str = "1.25_40"  # "base_levels" positional-encoding spec, or "none"
+    stem_dim_num: str = "512_1"  # "hidden_dim_num_layers"
+    fc_hw_dim: str = "9_16_26"  # "h_w_c" of the reshaped stem output
+    expansion: float = 1.0  # channel expansion at first conv stage
+    reduction: int = 2  # channel reduction at strided stages
+    strides: Tuple[int, ...] = (5, 2, 2, 2, 2)
+    num_blocks: int = 1  # blocks per stage (only the first carries the stride)
+    lower_width: int = 96  # channel floor for feature maps
+    norm: str = "none"
+    act: str = "swish"
+    bias: bool = True
+    single_res: bool = True  # single head at the last stage vs one head per stage
+    sigmoid: bool = False  # sigmoid output; else (tanh(x)+1)/2
+    branch_type: str = "NeRV_vanilla"
+    deploy: bool = False  # build the fused single-conv graph
+    conv_type: str = "conv"  # kept for flag parity (dead in reference, model.py:143)
+
+    # TPU-specific knobs (no reference counterpart)
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" compute precision
+    online_fuse: bool = True  # run one fused conv per block instead of branch-sum
+    use_pallas_decode: bool = False  # fused Pallas conv+pixelshuffle+act kernel
+
+    @property
+    def embed_length(self) -> int:
+        if self.embed.lower() == "none":
+            return 1
+        _, levels = self.embed.split("_")
+        return 2 * int(levels)
+
+    @property
+    def stem_dims(self) -> Tuple[int, int]:
+        d, n = self.stem_dim_num.split("_")
+        return int(d), int(n)
+
+    @property
+    def fc_hwd(self) -> Tuple[int, int, int]:
+        h, w, d = self.fc_hw_dim.split("_")
+        return int(h), int(w), int(d)
+
+
+@dataclass
+class DataConfig:
+    """Frame source (reference: model.py:11-70, main_train.py:200-215)."""
+
+    dataset: str = "bunny"
+    data_dir: str = "data"  # root holding <dataset>/ frame images
+    vid: Optional[Tuple[int, ...]] = None  # frame-index subset
+    frame_gap: int = 1
+    test_gap: int = 1
+    batch_size: int = 1
+    # Synthetic fallback when no frame directory exists (tests / benches).
+    synthetic_frames: int = 0
+    synthetic_hw: Tuple[int, int] = (720, 1280)
+    cache_device: bool = True  # keep the decoded video resident in HBM
+
+
+@dataclass
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    epochs: int = 300
+    warmup: float = 0.2  # ratio of epochs (int(warmup*epochs) epochs of warmup)
+    lr: float = 5e-4
+    lr_type: str = "cosine"
+    lr_steps: Tuple[float, ...] = ()
+    beta: float = 0.5  # Adam beta1 (reference main_train.py:196)
+    loss_type: str = "Fusion6"
+    lw: float = 1.0  # loss weight on all but the last multi-scale head
+    eval_freq: int = 50
+    eval_fps: bool = False
+    manual_seed: int = 1
+    print_freq: int = 50
+    debug: bool = False  # truncate epochs to 10 steps; eval every epoch
+    outf: str = "result/unify"
+    suffix: str = ""
+    overwrite: bool = False
+    weight: str = "None"
+
+    # compression / eval surface (reference main_eval.py flags)
+    prune_ratio: float = 1.0
+    prune_steps: Tuple[float, ...] = (0.0,)
+    quant_bit: int = -1
+    quant_axis: int = 0
+    finetune: bool = False
+    finetune_epochs: int = 100
+    dump_images: bool = False
+
+    # TPU-specific
+    mesh_shape: Tuple[int, ...] = ()  # () = single device; e.g. (8,) data-parallel
+    mesh_axes: Tuple[str, ...] = ("data",)
+    donate: bool = True
+
+    def warmup_epochs(self) -> int:
+        # reference: args.warmup = int(args.warmup * args.epochs), main_train.py:111
+        return int(self.warmup * self.epochs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "TrainConfig":
+        raw = json.loads(s)
+        model = ModelConfig(**{k: _tupled(v) for k, v in raw.pop("model").items()})
+        data = DataConfig(**{k: _tupled(v) for k, v in raw.pop("data").items()})
+        return TrainConfig(model=model, data=data, **{k: _tupled(v) for k, v in raw.items()})
+
+
+def _tupled(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+def stage_channels(cfg: ModelConfig) -> List[Tuple[int, int, int]]:
+    """Per-block (in_ch, out_base_ch, stride) schedule.
+
+    Mirrors the loop in reference model.py:583-595: stage 0 expands by
+    ``expansion``; later stages divide by ``reduction`` when strided, clamped
+    below by ``lower_width``.  Within a stage only the first block upsamples.
+    """
+    h, w, ngf = cfg.fc_hwd
+    plan: List[Tuple[int, int, int]] = []
+    for i, stride in enumerate(cfg.strides):
+        if i == 0:
+            new_ngf = int(ngf * cfg.expansion)
+        else:
+            new_ngf = max(ngf // (1 if stride == 1 else cfg.reduction), cfg.lower_width)
+        for j in range(cfg.num_blocks):
+            plan.append((ngf, new_ngf, 1 if j else stride))
+            ngf = new_ngf
+    return plan
+
+
+def head_plan(cfg: ModelConfig) -> List[bool]:
+    """Whether each *stage* carries a 1x1 RGB head (reference model.py:598-608)."""
+    n = len(cfg.strides)
+    if cfg.single_res:
+        return [i == n - 1 for i in range(n)]
+    return [True] * n
+
+
+def output_hw(cfg: ModelConfig) -> Tuple[int, int]:
+    h, w, _ = cfg.fc_hwd
+    for s in cfg.strides:
+        h, w = h * s, w * s
+    return h, w

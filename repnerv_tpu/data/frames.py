@@ -1,0 +1,195 @@
+"""Frame store — the TPU-native replacement for the reference's DataLoader.
+
+Reference semantics (model.py:11-70, main_train.py:200-215): a sorted
+directory of frame images; each sample is ``(ToTensor(frame), idx/len)``;
+``frame_gap`` strides the sampling; ``vid_list`` selects a subset; portrait
+frames are transposed to landscape (model.py:66-67).
+
+TPU-first design: a video that fits in HBM is decoded ONCE into a single
+[N, H, W, 3] float32 (or uint8) array and stays device-resident — no worker
+processes, no per-step host->device copies of pixels (the reference pays an
+H2D copy per frame per epoch, main_train.py:235).  Steps index the resident
+array with a device-side gather over a permuted index vector.  For videos
+larger than HBM, a host-pinned numpy array is kept and batches stream.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DataConfig
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), dtype=np.uint8)  # [H, W, 3]
+    return arr
+
+
+def load_frame_dir(
+    main_dir: str,
+    vid_list: Optional[Sequence[int]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a sorted frame directory -> (frames [N,H,W,3] uint8, t [N]).
+
+    ``t`` is the normalized index over the FULL directory (reference
+    model.py:37 normalizes before ``vid_list`` subsetting).  Portrait frames
+    transpose to landscape, mirroring model.py:66-67 (a permute of H/W; note
+    the reference permutes (0,2,1) on CHW, i.e. an H<->W axis swap, not a
+    rotation).
+    """
+    names = sorted(
+        f for f in os.listdir(main_dir) if f.lower().endswith(IMG_EXTS)
+    )
+    if not names:
+        raise FileNotFoundError(f"no frame images in {main_dir}")
+    n_all = len(names)
+    t_all = np.arange(n_all, dtype=np.float64) / n_all
+    if vid_list is not None and None not in tuple(vid_list):
+        idx = list(vid_list)
+        names = [names[i] for i in idx]
+        t_all = t_all[idx]
+    frames = []
+    for f in names:
+        arr = _load_image(os.path.join(main_dir, f))
+        if arr.shape[0] > arr.shape[1]:  # portrait -> swap H and W
+            arr = arr.transpose(1, 0, 2)
+        frames.append(arr)
+    return np.stack(frames), t_all.astype(np.float32)
+
+
+def synthetic_video(
+    n_frames: int, h: int, w: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic video for tests/benches: moving smooth
+    gradients + a translating box — compressible but not trivial."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, h, dtype=np.float32),
+        np.linspace(0, 1, w, dtype=np.float32),
+        indexing="ij",
+    )
+    phases = rng.uniform(0, 2 * np.pi, size=(3,)).astype(np.float32)
+    freqs = rng.uniform(1.5, 4.0, size=(3, 2)).astype(np.float32)
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for n in range(n_frames):
+        t = n / max(n_frames, 1)
+        img = np.stack(
+            [
+                0.5
+                + 0.5
+                * np.sin(
+                    2 * np.pi * (freqs[c, 0] * yy + freqs[c, 1] * xx)
+                    + phases[c]
+                    + 2 * np.pi * t
+                )
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+        # translating bright box
+        bh, bw = h // 4, w // 4
+        y0 = int((h - bh) * t)
+        x0 = int((w - bw) * (0.5 + 0.5 * np.sin(2 * np.pi * t)))
+        img[y0 : y0 + bh, x0 : x0 + bw] = np.clip(
+            img[y0 : y0 + bh, x0 : x0 + bw] + 0.4, 0, 1
+        )
+        frames[n] = np.round(np.clip(img, 0, 1) * 255).astype(np.uint8)
+    t_all = np.arange(n_frames, dtype=np.float32) / n_frames
+    return frames, t_all
+
+
+@dataclass
+class FrameStore:
+    """Device- (or host-) resident video with gap/subset sampling."""
+
+    frames: jnp.ndarray | np.ndarray  # [N, H, W, 3] uint8
+    t: np.ndarray  # [N] normalized indices (over the full source sequence)
+    frame_gap: int = 1
+
+    @property
+    def num_samples(self) -> int:
+        # reference __len__: len(frame_idx) // frame_gap (model.py:50)
+        return self.frames.shape[0] // self.frame_gap
+
+    @property
+    def hw(self) -> Tuple[int, int]:
+        return self.frames.shape[1], self.frames.shape[2]
+
+    def sample_indices(self) -> np.ndarray:
+        return np.arange(self.num_samples) * self.frame_gap
+
+    def epoch_batches(
+        self, batch_size: int, *, shuffle: bool, seed: int, drop_last: bool
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (frame_row_indices, t) batches.  Gathering pixels happens
+        at the call site so the gather can run device-side."""
+        idx = self.sample_indices()
+        if shuffle:
+            np.random.default_rng(seed).shuffle(idx)
+        n = len(idx)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            rows = idx[i : i + batch_size]
+            yield rows, self.t[rows]
+
+    def gather(self, rows: np.ndarray) -> jnp.ndarray:
+        """[B, H, W, 3] float32 in [0,1] (ToTensor semantics: /255)."""
+        batch = jnp.asarray(self.frames[np.asarray(rows)])
+        return batch.astype(jnp.float32) / 255.0
+
+
+def make_frame_store(cfg: DataConfig, *, split: str = "train") -> FrameStore:
+    """Build a FrameStore from a frame directory, falling back to the
+    synthetic video when the directory is absent and synthetic_frames > 0."""
+    gap = cfg.frame_gap if split == "train" else cfg.test_gap
+    path = os.path.join(cfg.data_dir, cfg.dataset.lower())
+    if os.path.isdir(path):
+        frames, t = load_frame_dir(path, cfg.vid)
+    elif cfg.synthetic_frames > 0:
+        h, w = cfg.synthetic_hw
+        frames, t = synthetic_video(cfg.synthetic_frames, h, w)
+    else:
+        raise FileNotFoundError(
+            f"frame dir {path} not found and synthetic_frames == 0"
+        )
+    arr: jnp.ndarray | np.ndarray
+    if cfg.cache_device:
+        arr = jnp.asarray(frames)  # uint8 resident in HBM
+    else:
+        arr = frames
+    return FrameStore(frames=arr, t=t, frame_gap=gap)
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC F.adaptive_avg_pool2d for integer-ratio downsampling (the only
+    case the multi-scale targets hit: stage dims divide the frame dims,
+    reference main_train.py:239)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        x = x.reshape(b, oh, kh, ow, kw, c)
+        return x.mean(axis=(2, 4))
+    # general adaptive pooling (torch semantics: per-output-cell mean over
+    # [floor(i*h/oh), ceil((i+1)*h/oh)) ) — host loop over static bins
+    ys = [(int(np.floor(i * h / oh)), int(np.ceil((i + 1) * h / oh))) for i in range(oh)]
+    xs = [(int(np.floor(j * w / ow)), int(np.ceil((j + 1) * w / ow))) for j in range(ow)]
+    rows = []
+    for y0, y1 in ys:
+        cols = [x[:, y0:y1, x0:x1, :].mean(axis=(1, 2)) for x0, x1 in xs]
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)

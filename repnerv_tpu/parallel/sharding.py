@@ -1,0 +1,180 @@
+"""Mesh + pjit sharding — the real distributed backend.
+
+The reference's distributed path is vestigial (flags + DistributedSampler but
+``dist.init_process_group`` is never called — reference utils.py:69-107,
+main_train.py:95-99; SURVEY.md §5.8).  Here parallelism is first-class and
+TPU-native:
+
+* **data axis**: the GOP batch of frames shards over ``"data"`` — each chip
+  trains on its shard of frames; the loss is a mean over the global batch,
+  so XLA inserts the gradient psum over ICI automatically.  This is THE
+  parallelism for NeRV-style fitting: the model is tiny (MBs, replicated);
+  frames are many.
+* **model axis**: optional tensor parallelism for scaled-up generators —
+  stem matmuls shard Megatron-style and conv kernels shard over output
+  channels wherever the dimension divides the axis size; XLA inserts the
+  matching collectives.
+* multi-host: ``jax.distributed.initialize`` + the same mesh spanning hosts
+  (DCN between hosts, ICI within) — no NCCL/MPI calls to port.
+
+Design follows the scaling-book recipe: pick a mesh, annotate shardings with
+NamedSharding, let XLA insert collectives.  No hand-written collectives in
+the training path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig
+
+Params = Dict[str, Any]
+
+
+def make_mesh(
+    shape: Sequence[int] = (),
+    axes: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if not shape:
+        shape = (len(devices),)
+        axes = tuple(axes[:1])
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axes))
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """Frames/t shard over the data axis (leading dim)."""
+    return P("data") if "data" in mesh.axis_names else P()
+
+
+def _divides(dim: int, axis_size: int) -> bool:
+    return axis_size > 1 and dim % axis_size == 0
+
+
+def params_specs(params: Params, mesh: Mesh, tensor_parallel: bool = True):
+    """PartitionSpec tree for the generator params.
+
+    Default: fully replicated (the model is small).  With a ``"model"`` mesh
+    axis and ``tensor_parallel``, stem matmuls shard Megatron-style (first
+    linear column-split, later ones row-split on the input dim) and conv
+    kernels shard over output channels when divisible.
+    """
+    if "model" not in mesh.axis_names or not tensor_parallel:
+        return jax.tree.map(lambda _: P(), params, is_leaf=lambda x: x is None)
+    msize = mesh.shape["model"]
+
+    def spec_for(path, leaf):
+        if leaf is None:
+            return None
+        keys = [getattr(k, "key", None) or getattr(k, "idx", None) for k in path]
+        if keys and keys[0] == "stem":
+            layer_idx = keys[1]
+            if keys[-1] == "w":
+                din, dout = leaf.shape
+                if layer_idx == 0 and _divides(dout, msize):
+                    return P(None, "model")  # column parallel
+                if layer_idx and layer_idx > 0 and _divides(din, msize):
+                    return P("model", None)  # row parallel (psum on output)
+                return P()
+            if keys[-1] == "b" and layer_idx == 0 and _divides(leaf.shape[0], msize):
+                return P("model")
+            return P()
+        if leaf.ndim == 4 and _divides(leaf.shape[-1], msize):
+            return P(None, None, None, "model")  # conv out-channel split
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        spec_for, params, is_leaf=lambda x: x is None
+    )
+
+
+def shard_params(params: Params, mesh: Mesh, tensor_parallel: bool = True) -> Params:
+    specs = params_specs(params, mesh, tensor_parallel)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        if x is not None
+        else None,
+        params,
+        specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def shard_batch(frames, t, mesh: Mesh):
+    s = NamedSharding(mesh, batch_spec(mesh))
+    return jax.device_put(frames, s), jax.device_put(jnp.asarray(t), s)
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, s) if x is not None else None,
+        tree,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def make_sharded_train_state(key, cfg: TrainConfig, mesh: Mesh, tensor_parallel=True):
+    """Initialize a TrainState with params sharded per ``params_specs`` and
+    optimizer state replicated (Adam moments mirror params leaf-for-leaf, so
+    GSPMD re-lays them out to match on first use)."""
+    from ..train.loop import TrainState, make_optimizer
+    from ..models.generator import init_generator
+
+    params = init_generator(key, cfg.model)
+    params = shard_params(params, mesh, tensor_parallel)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, replicate(jnp.asarray(0, jnp.int32), mesh))
+
+
+def make_sharded_train_step(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    mesh: Mesh,
+    *,
+    with_msssim: bool = False,
+):
+    """Jit the train step over ``mesh``.  Inputs are committed to their
+    shardings (batch over "data", params per their specs) before the call,
+    so GSPMD propagates layouts and inserts the ICI collectives."""
+    from ..train.loop import build_train_step_fn
+
+    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def run(state, frames, t, masks=None):
+        frames, t = shard_batch(frames, t, mesh)
+        return jitted(state, frames, t, masks)
+
+    return run
+
+
+def make_sharded_decode(cfg: TrainConfig, mesh: Mesh):
+    """Data-parallel decode: a batch of frame indices shards over the mesh,
+    each chip renders its frames (the reference decodes one frame at a time
+    on one GPU, main_eval.py:744-762)."""
+    from ..models.embedding import positional_encoding
+    from ..models.generator import apply_generator
+
+    def decode(params, t):
+        embed = positional_encoding(t, cfg.model.embed)
+        return apply_generator(params, embed, cfg.model, train=False)[-1]
+
+    jitted = jax.jit(decode)
+
+    def run(params, t):
+        t = jax.device_put(jnp.asarray(t), NamedSharding(mesh, batch_spec(mesh)))
+        return jitted(params, t)
+
+    return run

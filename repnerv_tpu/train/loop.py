@@ -1,0 +1,222 @@
+"""Training loop — jitted whole-batch steps, Adam, per-step LR, metrics.
+
+Parity target: the reference train loop (main_train.py:222-290): forward,
+multi-scale adaptive-pool targets, weighted Fusion loss, per-iteration LR
+adjustment, Adam(betas=(beta, 0.999)), PSNR/MS-SSIM accumulation, periodic
+eval, train/deploy checkpointing.
+
+TPU-first deltas:
+
+* ONE jitted ``train_step`` carries forward + loss + backward + Adam + LR +
+  metrics; the whole GOP batch of frames trains per step (the reference
+  steps one frame at a time at b=1).
+* The LR schedule is traced (a function of the step counter carried in the
+  train state) — no host-side optimizer mutation per iteration.
+* Optional pruning masks ride along as a pytree: gradients and updated
+  params are masked, which reproduces torch's reparametrized
+  ``weight = weight_orig * mask`` training exactly (main_eval.py:450-531).
+* Buffers donate: params/opt_state are consumed and re-emitted in-place.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..data.frames import FrameStore, adaptive_avg_pool
+from ..models.embedding import positional_encoding
+from ..models.generator import apply_generator, init_generator
+from ..ops.losses import multi_scale_loss
+from ..ops.metrics import msssim_fn, psnr_fn
+from .schedule import lr_at_step
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray  # global step counter (drives the LR schedule)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    # torch.optim.Adam(betas=(beta, 0.999), eps=1e-8) — main_train.py:196.
+    return optax.scale_by_adam(b1=cfg.beta, b2=0.999, eps=1e-8)
+
+
+def init_train_state(key, cfg: TrainConfig) -> TrainState:
+    params = init_generator(key, cfg.model)
+    tx = make_optimizer(cfg)
+    return TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+
+
+def _apply_mask(tree, masks):
+    if masks is None:
+        return tree
+    return jax.tree.map(
+        lambda x, m: x * m.astype(x.dtype) if m is not None else x,
+        tree,
+        masks,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def build_train_step_fn(
+    cfg: TrainConfig, steps_per_epoch: int, with_msssim: bool = True
+):
+    """The raw (unjitted) train step:
+    (state, frames [B,H,W,3] f32, t [B], masks|None) -> (state, aux dict).
+    ``make_train_step`` jits it; parallel/sharding.py jits it over a mesh.
+    """
+    mcfg = cfg.model
+    tx = make_optimizer(cfg)
+    warmup_epochs = cfg.warmup_epochs()
+
+    def loss_and_outputs(params, frames, t):
+        embed = positional_encoding(t, mcfg.embed)
+        outs = apply_generator(params, embed, mcfg, train=True)
+        targets = [adaptive_avg_pool(frames, o.shape[1:3]) for o in outs]
+        loss = multi_scale_loss(outs, targets, cfg.loss_type, cfg.lw)
+        return loss, (outs, targets)
+
+    def step_fn(state: TrainState, frames, t, masks):
+        lr = lr_at_step(
+            state.step,
+            base_lr=cfg.lr,
+            steps_per_epoch=steps_per_epoch,
+            epochs=cfg.epochs,
+            warmup_epochs=warmup_epochs,
+            lr_type=cfg.lr_type,
+            lr_steps=cfg.lr_steps,
+        )
+        (loss, (outs, targets)), grads = jax.value_and_grad(
+            loss_and_outputs, has_aux=True
+        )(state.params, frames, t)
+        grads = _apply_mask(grads, masks)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p - lr * u.astype(p.dtype), state.params, updates
+        )
+        new_params = _apply_mask(new_params, masks)
+
+        aux = {
+            "loss": loss,
+            "lr": lr,
+            "psnr": psnr_fn(outs, targets),
+        }
+        if with_msssim:
+            aux["msssim"] = msssim_fn(outs, targets)
+        return TrainState(new_params, opt_state, state.step + 1), aux
+
+    return step_fn
+
+
+def make_train_step(cfg: TrainConfig, steps_per_epoch: int, with_msssim: bool = True):
+    """Jitted single-host train step (buffers donated in-place)."""
+    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+    donate = (0,) if cfg.donate else ()
+    return jax.jit(step_fn, donate_argnums=donate)
+
+
+def make_eval_step(cfg: TrainConfig, with_msssim: bool = True):
+    mcfg = cfg.model
+
+    def eval_fn(params, frames, t):
+        embed = positional_encoding(t, mcfg.embed)
+        outs = apply_generator(params, embed, mcfg, train=False)
+        targets = [adaptive_avg_pool(frames, o.shape[1:3]) for o in outs]
+        aux = {"psnr": psnr_fn(outs, targets)}
+        if with_msssim:
+            aux["msssim"] = msssim_fn(outs, targets)
+        return outs, aux
+
+    return jax.jit(eval_fn)
+
+
+def make_decode_fn(cfg: TrainConfig):
+    """Jitted decode: t [B] -> final frame batch (the FPS surface,
+    reference main_eval.py:753-784)."""
+    mcfg = cfg.model
+
+    def decode(params, t):
+        embed = positional_encoding(t, mcfg.embed)
+        return apply_generator(params, embed, mcfg, train=False)[-1]
+
+    return jax.jit(decode)
+
+
+@dataclass
+class EpochMetrics:
+    psnr: np.ndarray  # [n_stage]
+    msssim: np.ndarray  # [n_stage]
+    loss: float
+    lr: float
+
+
+def run_epoch(
+    state: TrainState,
+    train_step,
+    store: FrameStore,
+    cfg: TrainConfig,
+    epoch: int,
+    masks=None,
+    max_steps: Optional[int] = None,
+) -> Tuple[TrainState, EpochMetrics]:
+    psnrs, msssims, losses = [], [], []
+    lr = 0.0
+    for i, (rows, t) in enumerate(
+        store.epoch_batches(
+            cfg.data.batch_size,
+            shuffle=True,
+            seed=cfg.manual_seed * 100003 + epoch,
+            drop_last=True,
+        )
+    ):
+        if max_steps is not None and i >= max_steps:
+            break
+        frames = store.gather(rows)
+        state, aux = train_step(state, frames, jnp.asarray(t), masks)
+        psnrs.append(np.asarray(aux["psnr"]))
+        if "msssim" in aux:
+            msssims.append(np.asarray(aux["msssim"]))
+        losses.append(float(aux["loss"]))
+        lr = float(aux["lr"])
+    psnr = np.concatenate(psnrs, 0).mean(0) if psnrs else np.zeros(1)
+    msssim = np.concatenate(msssims, 0).mean(0) if msssims else np.zeros_like(psnr)
+    return state, EpochMetrics(psnr, msssim, float(np.mean(losses)), lr)
+
+
+def evaluate(
+    params: Params,
+    eval_step,
+    store: FrameStore,
+    cfg: TrainConfig,
+    max_steps: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Validation sweep -> (psnr [n_stage], msssim [n_stage]);
+    mirrors main_train.py:377-438 minus the host-side timing."""
+    psnrs, msssims = [], []
+    for i, (rows, t) in enumerate(
+        store.epoch_batches(
+            cfg.data.batch_size, shuffle=False, seed=0, drop_last=False
+        )
+    ):
+        if max_steps is not None and i >= max_steps:
+            break
+        frames = store.gather(rows)
+        _, aux = eval_step(params, frames, jnp.asarray(t))
+        psnrs.append(np.asarray(aux["psnr"]))
+        if "msssim" in aux:
+            msssims.append(np.asarray(aux["msssim"]))
+    psnr = np.concatenate(psnrs, 0).mean(0)
+    msssim = (
+        np.concatenate(msssims, 0).mean(0) if msssims else np.zeros_like(psnr)
+    )
+    return psnr, msssim
