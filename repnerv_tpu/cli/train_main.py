@@ -60,6 +60,35 @@ def run_training(cfg: TrainConfig) -> dict:
 
     key = jax.random.PRNGKey(cfg.manual_seed)
     state = init_train_state(key, cfg)
+    start_epoch = 0
+
+    # pretrained init (--weight; parsed-but-dead in the reference,
+    # main_train.py:104) and genuine resume from the Orbax latest state
+    # (the reference hardwires start_epoch = 0, main_train.py:221).
+    if cfg.weight not in ("None", "", None):
+        loaded, _ = ckpt.load_pth(cfg.weight, cfg.model)
+        state = state._replace(params=loaded)
+        print(f"initialized weights from {cfg.weight}")
+    orbax_dir = os.path.join(outf, "orbax_latest")
+    if os.path.isdir(orbax_dir) and not cfg.overwrite:
+        like = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": 0,
+            "epoch": 0,
+        }
+        try:
+            restored = ckpt.load_orbax(outf, "orbax_latest", like)
+            state = TrainState(
+                restored["params"],
+                restored["opt_state"],
+                jnp.asarray(restored["step"], jnp.int32),
+            )
+            start_epoch = int(restored["epoch"])
+            print(f"resumed from epoch {start_epoch}")
+        except Exception as e:  # fresh run if the checkpoint is incompatible
+            print(f"resume skipped: {e}")
+
     n_params = param_count(state.params)
     log_line(outf, 0, f"{exp_id(cfg)}\nModel Params: {n_params / 1e6}M")
 
@@ -126,9 +155,18 @@ def run_training(cfg: TrainConfig) -> dict:
 
         extra = {"epoch": epoch + 1, **bests}
         if (epoch + 1) % cfg.eval_freq == 0 or epoch > cfg.epochs - 10:
+            val_t0 = time.perf_counter()
             val_psnr, val_msssim = evaluate(
                 state.params, eval_step, val_store, cfg, max_steps=max_steps
             )
+            if cfg.eval_fps:
+                # decode-only fps (reference main_train.py:396-405 repeats the
+                # forward; metric fetch inside evaluate forces completion)
+                n_frames = val_store.num_samples if max_steps is None else min(
+                    val_store.num_samples, max_steps * cfg.data.batch_size
+                )
+                fps = n_frames / max(time.perf_counter() - val_t0, 1e-9)
+                log_line(outf, 0, f"Eval FPS (incl. metrics): {fps:.2f}")
             is_val_best = val_psnr[-1] > bests["val_best_psnr"]
             bests["val_best_psnr"] = max(bests["val_best_psnr"], float(val_psnr[-1]))
             bests["val_best_msssim"] = max(bests["val_best_msssim"], float(val_msssim[-1]))

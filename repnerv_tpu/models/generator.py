@@ -25,6 +25,10 @@ from .layers import apply_mlp, conv2d, init_conv, init_mlp
 
 Params = Dict[str, Any]
 
+# below this input-pixel count a stage stays on the XLA path even when
+# use_pallas_decode is set (tiny early stages gain nothing from the kernel)
+PALLAS_MIN_PIXELS = 1024
+
 
 def init_generator(key, cfg: ModelConfig) -> Params:
     stem_dim, stem_num = cfg.stem_dims
@@ -103,7 +107,7 @@ def apply_generator(
                 and cfg.norm == "none"
                 and "rbr_reparam" in bparams
                 # tiny early stages gain nothing and stress Mosaic layouts
-                and x.shape[1] * x.shape[2] >= 1024
+                and x.shape[1] * x.shape[2] >= PALLAS_MIN_PIXELS
             )
             if use_pallas:
                 from ..pallas_kernels.decode import fused_conv_ps_act

@@ -1,29 +1,34 @@
 """Fused decode kernels: conv3x3 + bias + PixelShuffle + activation (+ head).
 
 The deploy-mode NeRV block is ``act(pixel_shuffle(conv3x3(x)))`` (reference
-model.py:518-567).  Under XLA this materializes the conv output
-[H, W, C*s*s] to HBM, then the pixel-shuffle transpose copies it again —
-at Bunny-720p stage 5 that intermediate is 177 MB/frame (bf16), twice the
-traffic of everything else in the block.  This Pallas kernel keeps the whole
-block in VMEM:
+model.py:518-567).  Under XLA the conv output [H, W, C*s*s] round-trips
+through HBM and the pixel-shuffle transpose copies it again — at Bunny-720p
+stage 5 that intermediate is 177 MB/frame in bf16.  This kernel keeps the
+block in VMEM and writes only final pixels.
 
-* grid over (batch, row-tiles); each program DMAs a (TH+2)-row halo slice of
-  the zero-padded input from HBM,
-* computes the conv as 9 shifted [TH*W, Cin] @ [Cin, Cout] MXU matmuls
-  accumulated in f32,
-* adds bias, applies the activation, performs the pixel-shuffle transpose in
-  registers/VMEM, and writes only the final [TH*s, W*s, C] tile,
-* optionally also applies the 1x1 RGB head + output squashing
-  (reference model.py:621-622) so the full-resolution feature map never
-  touches HBM at all.
+Mosaic-friendly formulation (no lane-splitting reshapes):
 
-Double-buffered input DMA overlaps the next tile's fetch with compute
-(guide: Patterns/Double Buffering).
+* The fused conv weights are pre-permuted host-side so output channel
+  ``(i*s + j)*C + c`` holds what PyTorch-ordered channel ``c*s*s + i*s + j``
+  held.  After this permutation, pixel-shuffle becomes a pure reindexing of
+  *rows*, not channels.
+* The grid is (batch, H-row-tiles, sub-row i).  Each program computes only
+  the output sub-rows ``h*s + i`` of its tile: 9 shifted
+  [TH*W, Cin] @ [Cin, s*C] MXU matmuls against the i-th weight column
+  slice, f32 accumulation, bias + activation, then ONE supported reshape
+  [TH*W, s*C] -> [TH, W, s*C] (minor dim unchanged).
+* The kernel output is [B, H, s, W, s*C]; its final reshape to
+  [B, H*s, W*s, C] is a row-major bitcast — XLA emits no copy.
+* The optional fused 1x1 RGB head + tanh/sigmoid squash (reference
+  model.py:621-622) applies per sub-column j on the VMEM tile, so the
+  full-resolution feature map never exists in HBM at all.
+
+Input tiles stream HBM->VMEM with an explicit async copy per program; the
+row-tile halo (one row above/below) comes from a host-side zero pad.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -34,16 +39,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.layers import activation
 
 
-def _pick_tile_h(h: int, w: int, cin: int, cout: int, bytes_per_el: int = 2) -> int:
-    """Largest TH dividing h such that in+out tiles fit comfortably in VMEM."""
-    budget = 8 * 1024 * 1024  # leave headroom of the ~16MB VMEM
+def shuffle_weight_permutation(cout: int, stride: int) -> jnp.ndarray:
+    """perm such that w[..., perm] reorders PyTorch pixel-shuffle channel
+    order (c*s*s + i*s + j) into shuffle-major order ((i*s + j)*C + c)."""
+    s = stride
+    c = cout // (s * s)
+    idx = jnp.arange(cout)
+    # position (i*s+j)*C + cc  <-  source channel cc*s*s + i*s + j
+    ij = idx // c
+    cc = idx % c
+    return cc * s * s + ij
+
+
+def _pick_tile_h(h: int, w: int, cin: int, n_cols: int) -> int:
+    """Largest TH dividing h with tiles comfortably inside VMEM."""
+    budget = 6 * 1024 * 1024
     best = 1
     for th in range(1, h + 1):
         if h % th:
             continue
-        in_bytes = 2 * (th + 2) * (w + 2) * cin * bytes_per_el  # double buffer
-        out_bytes = th * w * cout * 4  # f32 accumulator
-        if in_bytes + out_bytes <= budget:
+        in_bytes = (th + 2) * (w + 2) * cin * 2
+        acc_bytes = th * w * n_cols * 4
+        if in_bytes + acc_bytes <= budget:
             best = th
         else:
             break
@@ -59,14 +76,15 @@ def fused_conv_ps_act(
     *,
     head_w: Optional[jnp.ndarray] = None,
     head_b: Optional[jnp.ndarray] = None,
-    out_squash: Optional[str] = None,  # None | "tanh" | "sigmoid"
+    out_squash: Optional[str] = None,  # "tanh" (default squash) | "sigmoid"
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """act(pixel_shuffle(conv3x3(x) + b)) [@head_w + head_b -> squash].
+    """act(pixel_shuffle(conv3x3(x) + b)) [-> 1x1 head -> squash].
 
-    x: [B, H, W, Cin]; w: [3, 3, Cin, Cout] with Cout = C*stride**2.
-    Returns [B, H*s, W*s, C] (or [..., 3] with a fused head).
+    x: [B, H, W, Cin]; w: [3, 3, Cin, Cout], Cout = C*stride**2 (PyTorch
+    pixel-shuffle channel order).  Returns [B, H*s, W*s, C] (or [..., 3]
+    with a fused head).
     """
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
@@ -75,9 +93,17 @@ def fused_conv_ps_act(
     with_head = head_w is not None
     c_final = head_w.shape[-1] if with_head else C
 
+    perm = shuffle_weight_permutation(Cout, s)
+    w2 = w[..., perm].astype(compute_dtype)  # [3,3,Cin, s*s*C] shuffle-major
+    # pre-split by sub-row i -> [s, 3, 3, Cin, s*C]; BlockSpec hands each
+    # program its slice (Mosaic rejects dynamic lane-dim slicing in-kernel)
+    w3 = jnp.moveaxis(w2.reshape(3, 3, Cin, s, s * C), 3, 0)
+    bias2 = (
+        (b if b is not None else jnp.zeros((Cout,)))[perm]
+        .astype(jnp.float32)
+        .reshape(s, s * C)
+    )
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(compute_dtype)
-    w = w.astype(compute_dtype)
-    bias = (b if b is not None else jnp.zeros((Cout,))).astype(jnp.float32)
     hw = head_w[0, 0].astype(jnp.float32) if with_head else jnp.zeros((1, 1))
     hb = (
         head_b.astype(jnp.float32)
@@ -85,90 +111,92 @@ def fused_conv_ps_act(
         else jnp.zeros((c_final,), jnp.float32)
     )
 
-    TH = _pick_tile_h(H, W, Cin, Cout)
-    grid = (B, H // TH)
+    n_cols = s * C  # matmul N per program
+    TH = _pick_tile_h(H, W, Cin, n_cols)
+    grid = (B, H // TH, s)
+    out_cols = s * c_final if with_head else s * C
 
     def kernel(x_hbm, w_ref, b_ref, hw_ref, hb_ref, out_ref, x_tile, sem):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
-        n_tiles = pl.num_programs(1)
+        i = pl.program_id(2)
 
-        def dma(slot, tile_idx):
-            return pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(tile_idx * TH, TH + 2)],
-                x_tile.at[slot],
-                sem.at[slot],
+        # fetch the input row-tile (+halo) once per (bi, ti); the i loop is
+        # innermost, so only refetch when i == 0
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(ti * TH, TH + 2)], x_tile, sem
             )
+            cp.start()
+            cp.wait()
 
-        @pl.when(ti == 0)
-        def _():
-            dma(0, 0).start()
-
-        slot = ti % 2
-
-        @pl.when(ti + 1 < n_tiles)
-        def _():
-            dma((ti + 1) % 2, ti + 1).start()
-
-        dma(slot, ti).wait()
-
-        acc = jnp.zeros((TH * W, Cout), jnp.float32)
+        acc = jnp.zeros((TH * W, n_cols), jnp.float32)
         for dy in range(3):
             for dx in range(3):
-                win = x_tile[slot, dy : dy + TH, dx : dx + W, :].reshape(
-                    TH * W, Cin
-                )
+                win = x_tile[dy : dy + TH, dx : dx + W, :].reshape(TH * W, Cin)
                 acc += jnp.dot(
-                    win, w_ref[dy, dx], preferred_element_type=jnp.float32
+                    win,
+                    w_ref[0, dy, dx],
+                    preferred_element_type=jnp.float32,
                 )
-        acc += b_ref[:].reshape(1, Cout)
+        acc += b_ref[0].reshape(1, n_cols)
         acc = activation(acc, act)
-        # pixel shuffle in VMEM: [TH, W, C, s, s] -> [TH, s, W, s, C]
-        tile = acc.reshape(TH, W, C, s, s).transpose(0, 3, 1, 4, 2)
-        tile = tile.reshape(TH * s, W * s, C)
         if with_head:
-            flat = tile.reshape(TH * s * W * s, C)
-            img = (
-                jnp.dot(flat, hw_ref[:], preferred_element_type=jnp.float32)
-                + hb_ref[:].reshape(1, -1)
-            )
-            if out_squash == "sigmoid":
-                img = jax.nn.sigmoid(img)
-            else:
-                img = (jnp.tanh(img) + 1.0) * 0.5
-            out_ref[0] = img.reshape(TH * s, W * s, c_final).astype(out_ref.dtype)
-        else:
-            out_ref[0] = tile.astype(out_ref.dtype)
+            pieces = []
+            for j in range(s):
+                rgb = (
+                    jnp.dot(
+                        acc[:, j * C : (j + 1) * C],
+                        hw_ref[:],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + hb_ref[:].reshape(1, c_final)
+                )
+                if out_squash == "sigmoid":
+                    rgb = jax.nn.sigmoid(rgb)
+                else:
+                    rgb = (jnp.tanh(rgb) + 1.0) * 0.5
+                pieces.append(rgb)
+            acc = jnp.concatenate(pieces, axis=-1)  # [TH*W, s*c_final]
+        out_ref[0, :, 0] = acc.reshape(TH, W, out_cols).astype(out_ref.dtype)
 
     out_dtype = jnp.float32 if with_head else compute_dtype
-    result = pl.pallas_call(
+    out5 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input in HBM
+            pl.BlockSpec(
+                (1, 3, 3, Cin, n_cols),
+                lambda bi, ti, i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_cols), lambda bi, ti, i: (i, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, TH * s, W * s, c_final),
-            lambda bi, ti: (bi, ti, 0, 0),
+            (1, TH, 1, W, out_cols),
+            lambda bi, ti, i: (bi, ti, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H * s, W * s, c_final), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, s, W, out_cols), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, TH + 2, W + 2, Cin), compute_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TH + 2, W + 2, Cin), compute_dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * B * H * W * Cin * Cout,
-            bytes_accessed=xp.size * 2 + B * H * s * W * s * c_final * 4,
+            bytes_accessed=xp.size * 2 + B * H * s * W * out_cols * 4,
             transcendentals=B * H * W * Cout,
         ),
         interpret=interpret,
-    )(xp, w, bias, hw, hb)
-    return result
+    )(xp, w3, bias2, hw, hb)
+    # free bitcast: [B, H, s, W, s*c] is row-major-identical to the target
+    return out5.reshape(B, H * s, W * s, c_final)
