@@ -14,6 +14,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from repnerv_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     from repnerv_tpu.config import ModelConfig
     from repnerv_tpu.models.embedding import positional_encoding
     from repnerv_tpu.models.generator import (

@@ -30,6 +30,9 @@ from .args import args_to_config, build_parser
 
 
 def run_eval(cfg: TrainConfig) -> dict:
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     outf = os.path.join(cfg.outf, cfg.suffix) if cfg.suffix else cfg.outf
     store = make_frame_store(cfg.data, split="train")
     val_store = make_frame_store(cfg.data, split="val")
@@ -94,7 +97,16 @@ def run_eval(cfg: TrainConfig) -> dict:
             img = np.clip(np.asarray(out[0]) * 255, 0, 255).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(vis, f"pred_{n}.png"))
 
+    # MACs/FLOPs (thop replacement; reference main_eval.py:787-790)
+    from ..utils.costs import generator_macs
+
+    costs = generator_macs(final_cfg, deploy=final_cfg.deploy)
+    print(
+        f"MACs: {costs['macs'] / 1e9:.3f} G, FLOPs: {costs['flops'] / 1e9:.3f} G"
+    )
+
     result = {
+        "macs_g": costs["macs"] / 1e9,
         "val_psnr": [float(x) for x in val_psnr],
         "val_msssim": [float(x) for x in val_msssim],
         "fps": fps,

@@ -47,6 +47,9 @@ def log_line(outf: str, rank: int, msg: str):
 
 
 def run_training(cfg: TrainConfig) -> dict:
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     outf = os.path.join(cfg.outf, cfg.suffix) if cfg.suffix else cfg.outf
     if cfg.overwrite and os.path.isdir(outf):
         shutil.rmtree(outf)
@@ -128,7 +131,7 @@ def run_training(cfg: TrainConfig) -> dict:
     max_steps = 10 if cfg.debug else None
     reparam = cfg.model.branch_type != "NeRV_vanilla" and not cfg.model.deploy
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         ep_start = datetime.now()
         state, m = run_epoch(state, train_step, store, cfg, epoch, max_steps=max_steps)
         is_train_best = m.psnr[-1] > bests["train_best_psnr"]
@@ -143,7 +146,7 @@ def run_training(cfg: TrainConfig) -> dict:
             writer.add_scalar(f"Train/best_MSSSIM_{tag}", bests["train_best_msssim"], epoch + 1)
             writer.add_scalar("Train/lr", m.lr, epoch + 1)
         ep_s = (datetime.now() - ep_start).total_seconds()
-        avg_s = (datetime.now() - start).total_seconds() / (epoch + 1)
+        avg_s = (datetime.now() - start).total_seconds() / (epoch + 1 - start_epoch)
         log_line(
             outf,
             0,

@@ -2,7 +2,22 @@
 
 from __future__ import annotations
 
+import os
 from typing import List
+
+
+def enable_compilation_cache(cache_dir: str = ".jax_cache") -> None:
+    """Persistent XLA compilation cache — repeat CLI/bench invocations skip
+    the (tens of seconds to minutes) compile step entirely."""
+    import jax
+
+    try:
+        path = os.path.abspath(cache_dir)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache
 
 
 def split_channels(num_channels: int, num_splits: int = 6) -> List[int]:

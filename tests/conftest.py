@@ -10,6 +10,10 @@ client at creation time, so the env assignment below still takes effect.
 
 import os
 
+# 1-core box: torch's OpenMP pool and XLA's thread pool deadlock when both
+# spin; pinning to one thread avoids torch-then-jax conv hangs
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
