@@ -100,6 +100,7 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--no_online_fuse", action="store_true")
     p.add_argument("--use_pallas_decode", action="store_true")
+    p.add_argument("--profile", action="store_true", help="capture a JAX profiler trace of epoch 1")
     return p
 
 
@@ -164,6 +165,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         dump_images=a.dump_images,
         mesh_shape=tuple(a.mesh_shape),
         mesh_axes=tuple(a.mesh_axes),
+        profile=a.profile,
     )
 
 

@@ -33,9 +33,11 @@ from ..train.loop import (
     TrainState,
     evaluate,
     init_train_state,
+    make_epoch_fn,
     make_eval_step,
     make_train_step,
     run_epoch,
+    run_fused_epoch,
 )
 from .args import args_to_config, build_parser, exp_id
 
@@ -106,6 +108,7 @@ def run_training(cfg: TrainConfig) -> dict:
         writer = None
 
     use_mesh = bool(cfg.mesh_shape) and len(jax.devices()) > 1
+    fused = cfg.fused_epoch and not use_mesh and not cfg.profile
     if use_mesh:
         from ..parallel.sharding import (
             make_mesh,
@@ -116,6 +119,9 @@ def run_training(cfg: TrainConfig) -> dict:
         mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
         state = make_sharded_train_state(key, cfg, mesh)
         train_step = make_sharded_train_step(cfg, steps_per_epoch, mesh)
+    elif fused:
+        # whole-epoch scan: one dispatch per epoch over the HBM-resident video
+        train_step = make_epoch_fn(cfg, steps_per_epoch)
     else:
         train_step = make_train_step(cfg, steps_per_epoch)
     eval_step = make_eval_step(cfg)
@@ -131,9 +137,28 @@ def run_training(cfg: TrainConfig) -> dict:
     max_steps = 10 if cfg.debug else None
     reparam = cfg.model.branch_type != "NeRV_vanilla" and not cfg.model.deploy
 
+    # one-time cost print at startup (reference thop MACs, main_train.py:410-412)
+    from ..utils.costs import generator_macs
+
+    macs = generator_macs(cfg.model, deploy=cfg.model.deploy)["macs"]
+    log_line(outf, 0, f"MACs: {macs / 1e9:.2f}G")
+
     for epoch in range(start_epoch, cfg.epochs):
         ep_start = datetime.now()
-        state, m = run_epoch(state, train_step, store, cfg, epoch, max_steps=max_steps)
+        if cfg.profile and epoch == start_epoch:
+            from ..utils.profiling import trace
+
+            with trace(os.path.join(outf, "profile")):
+                state, m = run_epoch(
+                    state, train_step, store, cfg, epoch,
+                    max_steps=max_steps if max_steps is not None else 3,
+                )
+            log_line(outf, 0, f"profiler trace written to {outf}/profile")
+            continue
+        if fused:
+            state, m = run_fused_epoch(state, train_step, store, cfg, epoch, max_steps=max_steps)
+        else:
+            state, m = run_epoch(state, train_step, store, cfg, epoch, max_steps=max_steps)
         is_train_best = m.psnr[-1] > bests["train_best_psnr"]
         bests["train_best_psnr"] = max(bests["train_best_psnr"], float(m.psnr[-1]))
         bests["train_best_msssim"] = max(bests["train_best_msssim"], float(m.msssim[-1]))

@@ -122,6 +122,8 @@ class TrainConfig:
     dump_images: bool = False
 
     # TPU-specific
+    profile: bool = False  # capture a JAX profiler trace of the first epoch
+    fused_epoch: bool = True  # scan the whole epoch in one device dispatch
     mesh_shape: Tuple[int, ...] = ()  # () = single device; e.g. (8,) data-parallel
     mesh_axes: Tuple[str, ...] = ("data",)
     donate: bool = True

@@ -6,25 +6,25 @@ through HBM and the pixel-shuffle transpose copies it again — at Bunny-720p
 stage 5 that intermediate is 177 MB/frame in bf16.  This kernel keeps the
 block in VMEM and writes only final pixels.
 
-Mosaic-friendly formulation (no lane-splitting reshapes):
+Mosaic-friendly formulation (everything rides plain BlockSpec pipelining —
+no manual DMA, no lane-splitting reshapes, no dynamic lane slicing):
 
+* The 3-row halo comes from THREE row-shifted views of the zero-padded
+  input (rows [0:H], [1:H+1], [2:H+2]), each block-delivered per row-tile;
+  Mosaic double-buffers the fetches automatically.
 * The fused conv weights are pre-permuted host-side so output channel
   ``(i*s + j)*C + c`` holds what PyTorch-ordered channel ``c*s*s + i*s + j``
-  held.  After this permutation, pixel-shuffle becomes a pure reindexing of
-  *rows*, not channels.
-* The grid is (batch, H-row-tiles, sub-row i).  Each program computes only
-  the output sub-rows ``h*s + i`` of its tile: 9 shifted
-  [TH*W, Cin] @ [Cin, s*C] MXU matmuls against the i-th weight column
-  slice, f32 accumulation, bias + activation, then ONE supported reshape
-  [TH*W, s*C] -> [TH, W, s*C] (minor dim unchanged).
-* The kernel output is [B, H, s, W, s*C]; its final reshape to
+  held, and pre-split per sub-row ``i``: after this, pixel-shuffle is pure
+  row reindexing.
+* The grid is (batch, H-row-tiles, sub-row i).  Each program computes its
+  tile's output sub-rows ``h*s + i`` as 9 shifted [TH*W, Cin] @ [Cin, s*C]
+  MXU matmuls (f32 accumulation), bias + activation, then ONE supported
+  reshape [TH*W, s*C] -> [TH, W, s*C] (minor dim unchanged).
+* The kernel output is [B, H, s, W, s*C]; the final reshape to
   [B, H*s, W*s, C] is a row-major bitcast — XLA emits no copy.
 * The optional fused 1x1 RGB head + tanh/sigmoid squash (reference
   model.py:621-622) applies per sub-column j on the VMEM tile, so the
   full-resolution feature map never exists in HBM at all.
-
-Input tiles stream HBM->VMEM with an explicit async copy per program; the
-row-tile halo (one row above/below) comes from a host-side zero pad.
 """
 
 from __future__ import annotations
@@ -45,7 +45,6 @@ def shuffle_weight_permutation(cout: int, stride: int) -> jnp.ndarray:
     s = stride
     c = cout // (s * s)
     idx = jnp.arange(cout)
-    # position (i*s+j)*C + cc  <-  source channel cc*s*s + i*s + j
     ij = idx // c
     cc = idx % c
     return cc * s * s + ij
@@ -58,7 +57,7 @@ def _pick_tile_h(h: int, w: int, cin: int, n_cols: int) -> int:
     for th in range(1, h + 1):
         if h % th:
             continue
-        in_bytes = (th + 2) * (w + 2) * cin * 2
+        in_bytes = 3 * th * (w + 2) * cin * 2 * 2  # 3 views, double-buffered
         acc_bytes = th * w * n_cols * 4
         if in_bytes + acc_bytes <= budget:
             best = th
@@ -104,6 +103,8 @@ def fused_conv_ps_act(
         .reshape(s, s * C)
     )
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(compute_dtype)
+    # three row-shifted views supply the conv's dy taps without halo DMA
+    x_rows = [xp[:, dy : dy + H] for dy in range(3)]
     hw = head_w[0, 0].astype(jnp.float32) if with_head else jnp.zeros((1, 1))
     hb = (
         head_b.astype(jnp.float32)
@@ -116,31 +117,19 @@ def fused_conv_ps_act(
     grid = (B, H // TH, s)
     out_cols = s * c_final if with_head else s * C
 
-    def kernel(x_hbm, w_ref, b_ref, hw_ref, hb_ref, out_ref, x_tile, sem):
-        bi = pl.program_id(0)
-        ti = pl.program_id(1)
+    def kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, hw_ref, hb_ref, out_ref):
         i = pl.program_id(2)
-
-        # fetch the input row-tile (+halo) once per (bi, ti); the i loop is
-        # innermost, so only refetch when i == 0
-        @pl.when(i == 0)
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(ti * TH, TH + 2)], x_tile, sem
-            )
-            cp.start()
-            cp.wait()
-
+        rows = (x0_ref, x1_ref, x2_ref)
         acc = jnp.zeros((TH * W, n_cols), jnp.float32)
         for dy in range(3):
             for dx in range(3):
-                win = x_tile[dy : dy + TH, dx : dx + W, :].reshape(TH * W, Cin)
+                win = rows[dy][0, :, dx : dx + W, :].reshape(TH * W, Cin)
                 acc += jnp.dot(
                     win,
                     w_ref[0, dy, dx],
                     preferred_element_type=jnp.float32,
                 )
-        acc += b_ref[0].reshape(1, n_cols)
+        acc += b_ref[i].reshape(1, n_cols)
         acc = activation(acc, act)
         if with_head:
             pieces = []
@@ -161,20 +150,27 @@ def fused_conv_ps_act(
             acc = jnp.concatenate(pieces, axis=-1)  # [TH*W, s*c_final]
         out_ref[0, :, 0] = acc.reshape(TH, W, out_cols).astype(out_ref.dtype)
 
+    row_spec = pl.BlockSpec(
+        (1, TH, W + 2, Cin),
+        lambda bi, ti, i: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     out_dtype = jnp.float32 if with_head else compute_dtype
     out5 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input in HBM
+            row_spec,
+            row_spec,
+            row_spec,
             pl.BlockSpec(
                 (1, 3, 3, Cin, n_cols),
                 lambda bi, ti, i: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, n_cols), lambda bi, ti, i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            # full (s, s*C) bias in VMEM; sub-row i indexes the sublane dim
+            # in-kernel (a (1, n_cols) block would break the (8,128) rule)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -184,19 +180,15 @@ def fused_conv_ps_act(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, s, W, out_cols), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((TH + 2, W + 2, Cin), compute_dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * B * H * W * Cin * Cout,
-            bytes_accessed=xp.size * 2 + B * H * s * W * out_cols * 4,
+            bytes_accessed=xp.size * 2 * 3 + B * H * s * W * out_cols * 4,
             transcendentals=B * H * W * Cout,
         ),
         interpret=interpret,
-    )(xp, w3, bias2, hw, hb)
+    )(x_rows[0], x_rows[1], x_rows[2], w3, bias2, hw, hb)
     # free bitcast: [B, H, s, W, s*c] is row-major-identical to the target
     return out5.reshape(B, H * s, W * s, c_final)

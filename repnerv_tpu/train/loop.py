@@ -125,6 +125,70 @@ def make_train_step(cfg: TrainConfig, steps_per_epoch: int, with_msssim: bool = 
     return jax.jit(step_fn, donate_argnums=donate)
 
 
+def make_epoch_fn(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    with_msssim: bool = False,
+):
+    """Whole-epoch jitted step: ``lax.scan`` over the shuffled batch order
+    with the uint8 video resident in HBM.
+
+    One host->device dispatch per EPOCH instead of per step — the decisive
+    win over the reference's frame-at-a-time loop (main_train.py:229), and
+    doubly so on tunneled backends where every dispatch pays an RTT.
+
+    Call: (state, video_u8 [N,H,W,3], perm [steps, B] int32, t_all [N])
+    -> (state, aux) where aux entries are stacked per-step.
+    """
+    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+
+    def epoch_fn(state: TrainState, video_u8, perm, t_all, masks):
+        def body(state, rows):
+            frames = video_u8[rows].astype(jnp.float32) / 255.0
+            t = t_all[rows]
+            state, aux = step_fn(state, frames, t, masks)
+            return state, aux
+
+        return jax.lax.scan(body, state, perm)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
+def run_fused_epoch(
+    state: TrainState,
+    epoch_fn,
+    store: FrameStore,
+    cfg: TrainConfig,
+    epoch: int,
+    masks=None,
+    max_steps: Optional[int] = None,
+) -> Tuple[TrainState, EpochMetrics]:
+    """Drive :func:`make_epoch_fn`: build the epoch's shuffled batch matrix
+    on the host, run ONE device dispatch, reduce the stacked metrics."""
+    b = cfg.data.batch_size
+    idx = store.sample_indices()
+    rng = np.random.default_rng(cfg.manual_seed * 100003 + epoch)
+    rng.shuffle(idx)
+    n_steps = len(idx) // b
+    if max_steps is not None:
+        n_steps = min(n_steps, max_steps)
+    perm = jnp.asarray(idx[: n_steps * b].reshape(n_steps, b), jnp.int32)
+    t_all = jnp.asarray(store.t, jnp.float32)
+    video = store.frames
+    if not isinstance(video, jnp.ndarray):
+        video = jnp.asarray(video)
+    state, aux = epoch_fn(state, video, perm, t_all, masks)
+    psnr = np.asarray(aux["psnr"]).reshape(n_steps * b, -1).mean(0)
+    msssim = (
+        np.asarray(aux["msssim"]).reshape(n_steps * b, -1).mean(0)
+        if "msssim" in aux
+        else np.zeros_like(psnr)
+    )
+    return state, EpochMetrics(
+        psnr, msssim, float(np.mean(np.asarray(aux["loss"]))), float(np.asarray(aux["lr"])[-1])
+    )
+
+
 def make_eval_step(cfg: TrainConfig, with_msssim: bool = True):
     mcfg = cfg.model
 

@@ -298,3 +298,37 @@ def test_orbax_roundtrip(tmp_path):
     b = jax.tree.leaves(restored["params"])
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_fused_epoch_matches_per_step():
+    """The whole-epoch lax.scan path must produce the same params/metrics as
+    the per-step loop (same shuffle seed => same batch order)."""
+    from repnerv_tpu.train.loop import make_epoch_fn, run_fused_epoch
+
+    cfg = tiny_train(epochs=10)
+    store = make_store(cfg)
+
+    s1 = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, steps_per_epoch=2, with_msssim=False)
+    s1, m1 = run_epoch(s1, step, store, cfg, epoch=0)
+
+    s2 = init_train_state(jax.random.PRNGKey(0), cfg)
+    epoch_fn = make_epoch_fn(cfg, steps_per_epoch=2, with_msssim=False)
+    s2, m2 = run_fused_epoch(s2, epoch_fn, store, cfg, epoch=0)
+
+    assert m2.psnr[-1] == pytest.approx(m1.psnr[-1], abs=1e-4)
+    assert m2.loss == pytest.approx(m1.loss, rel=1e-5)
+    assert int(s2.step) == int(s1.step) == 2
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_epoch_respects_max_steps():
+    from repnerv_tpu.train.loop import make_epoch_fn, run_fused_epoch
+
+    cfg = tiny_train()
+    store = make_store(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    epoch_fn = make_epoch_fn(cfg, steps_per_epoch=2, with_msssim=False)
+    state, m = run_fused_epoch(state, epoch_fn, store, cfg, 0, max_steps=1)
+    assert int(state.step) == 1
