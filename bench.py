@@ -4,9 +4,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the driver's north-star of 400 decode fps/chip for the fused
 single-branch Bunny-720p model (BASELINE.md; the reference repo publishes no
 numbers of its own — SURVEY.md §6).
+
+Methodology: the whole 132-frame video decodes in ONE device dispatch
+(lax.scan over frame batches, per-batch checksums only), repeated and the
+best wall-clock taken.  A scalar is fetched to force completion —
+``block_until_ready`` returns early on tunneled backends.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -17,43 +23,40 @@ def main():
     from repnerv_tpu.utils.misc import enable_compilation_cache
 
     enable_compilation_cache()
-    from repnerv_tpu.config import ModelConfig
-    from repnerv_tpu.models.embedding import positional_encoding
-    from repnerv_tpu.models.generator import (
-        apply_generator,
-        generator_to_deploy,
-        init_generator,
+    from repnerv_tpu.config import ModelConfig, TrainConfig
+    from repnerv_tpu.models.generator import generator_to_deploy, init_generator
+    from repnerv_tpu.train.loop import make_video_decode_fn
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 32))
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+
+    mcfg = ModelConfig(
+        branch_type="ERB",
+        compute_dtype="bfloat16",
+        use_pallas_decode=use_pallas,
+    )
+    params = init_generator(jax.random.PRNGKey(0), mcfg)
+    dep_params, dep_cfg = generator_to_deploy(params, mcfg)
+    cfg = TrainConfig(model=dep_cfg)
+
+    decode_all = make_video_decode_fn(cfg, keep_frames=False)
+    n_batches = n_frames // batch
+    t = jnp.linspace(0.0, 0.99, n_batches * batch, dtype=jnp.float32).reshape(
+        n_batches, batch
     )
 
-    cfg = ModelConfig(branch_type="ERB", compute_dtype="bfloat16")
-    params = init_generator(jax.random.PRNGKey(0), cfg)
-    dep_params, dep_cfg = generator_to_deploy(params, cfg)
+    # compile + warm
+    float(jnp.sum(decode_all(dep_params, t)))
+    float(jnp.sum(decode_all(dep_params, t)))
 
-    batch = 16
-
-    @jax.jit
-    def decode(p, t):
-        embed = positional_encoding(t, dep_cfg.embed)
-        out = apply_generator(p, embed, dep_cfg, train=False)[-1]
-        # a scalar checksum rides along: fetching it to host forces real
-        # completion (block_until_ready alone returns early on tunneled
-        # backends, so wall-clock around it under-measures)
-        return out, jnp.sum(out)
-
-    t = jnp.linspace(0.0, 0.99, batch, dtype=jnp.float32)
-    # warmup/compile
-    float(decode(dep_params, t)[1])
-    float(decode(dep_params, t)[1])
-
-    reps = 10
     times = []
-    for i in range(reps):
+    for i in range(5):
         ti = t + i * 1e-7
         t0 = time.perf_counter()
-        _, s = decode(dep_params, ti)
-        float(s)
+        float(jnp.sum(decode_all(dep_params, ti)))
         times.append(time.perf_counter() - t0)
-    fps = batch / min(times)
+    fps = n_batches * batch / min(times)
 
     baseline_fps = 400.0  # BASELINE.md north-star: >=400 decode fps/chip
     print(

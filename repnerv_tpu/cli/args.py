@@ -99,7 +99,7 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     # TPU-only knobs
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--no_online_fuse", action="store_true")
-    p.add_argument("--use_pallas_decode", action="store_true")
+    p.add_argument("--no_pallas_decode", action="store_true")
     p.add_argument("--profile", action="store_true", help="capture a JAX profiler trace of epoch 1")
     return p
 
@@ -124,7 +124,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         conv_type=a.conv_type,
         compute_dtype=a.compute_dtype,
         online_fuse=not a.no_online_fuse,
-        use_pallas_decode=a.use_pallas_decode,
+        use_pallas_decode=not a.no_pallas_decode,
     )
     data = DataConfig(
         dataset=a.dataset,

@@ -76,15 +76,23 @@ def run_eval(cfg: TrainConfig) -> dict:
         out = apply_generator(p, e, final_cfg, train=False)[-1]
         return out, jnp.sum(out)
 
-    bsz = cfg.data.batch_size
-    t = jnp.linspace(0.0, 0.95, bsz)
-    float(decode(params, t)[1])  # compile
+    # decode-throughput measurement: the whole validation set in one
+    # dispatch (serving shape), repeated; scalar fetch forces completion
+    from ..train.loop import make_video_decode_fn
+
+    bsz = max(cfg.data.batch_size, 8)
+    n_batches = max(val_store.num_samples // bsz, 1)
+    t_mat = jnp.asarray(
+        val_store.t[val_store.sample_indices()[: n_batches * bsz]], jnp.float32
+    ).reshape(n_batches, bsz)
+    decode_all = make_video_decode_fn(eval_cfg, keep_frames=False)
+    float(jnp.sum(decode_all(params, t_mat)))  # compile
     times = []
-    for i in range(5):
+    for i in range(3):
         t0 = time.perf_counter()
-        float(decode(params, t + i * 1e-7)[1])
+        float(jnp.sum(decode_all(params, t_mat + i * 1e-7)))
         times.append(time.perf_counter() - t0)
-    fps = bsz / min(times)
+    fps = n_batches * bsz / min(times)
 
     if cfg.dump_images:
         from PIL import Image

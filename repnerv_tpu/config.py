@@ -53,7 +53,8 @@ class ModelConfig:
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "float32" | "bfloat16" compute precision
     online_fuse: bool = True  # run one fused conv per block instead of branch-sum
-    use_pallas_decode: bool = False  # fused Pallas conv+pixelshuffle+act kernel
+    use_pallas_decode: bool = True  # fused Pallas conv+PS+act(+head) decode kernel
+    # (auto-gated: deploy graphs, norm=none, TPU backend, big stages only)
 
     @property
     def embed_length(self) -> int:

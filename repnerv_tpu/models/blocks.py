@@ -134,7 +134,7 @@ def apply_block(
     return activation(out, act)
 
 
-def _seqconv_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _seqconv_apply(p: Params, x: jnp.ndarray, mask2d: jnp.ndarray) -> jnp.ndarray:
     """Literal SeqConv3x3 forward (reference model.py:272-284): 1x1 conv,
     explicit border fill with the 1x1 bias, depthwise mask conv."""
     y = conv2d(x, p["k0"], p["b0"], padding="VALID")
@@ -144,12 +144,6 @@ def _seqconv_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = y.at[:, -1:, :, :].set(b0)
     y = y.at[:, :, 0:1, :].set(b0)
     y = y.at[:, :, -1:, :].set(b0)
-    mask = None
-    return y, b0  # split for the caller to finish with its mask
-
-
-def _seqconv_apply(p: Params, x: jnp.ndarray, mask2d: jnp.ndarray) -> jnp.ndarray:
-    y, _ = _seqconv_forward(p, x)
     cout = p["scale"].shape[0]
     # depthwise 3x3: HWIO with I=1, groups=cout
     w = (mask2d[:, :, None] * p["scale"][None, None, :]).reshape(3, 3, 1, cout)

@@ -28,6 +28,9 @@ Params = Dict[str, Any]
 # below this input-pixel count a stage stays on the XLA path even when
 # use_pallas_decode is set (tiny early stages gain nothing from the kernel)
 PALLAS_MIN_PIXELS = 1024
+# the fused kernel only lowers on real TPUs; tests monkeypatch this to run
+# the interpret-mode kernel on CPU
+PALLAS_REQUIRE_TPU = True
 
 
 def init_generator(key, cfg: ModelConfig) -> Params:
@@ -108,6 +111,7 @@ def apply_generator(
                 and "rbr_reparam" in bparams
                 # tiny early stages gain nothing and stress Mosaic layouts
                 and x.shape[1] * x.shape[2] >= PALLAS_MIN_PIXELS
+                and (not PALLAS_REQUIRE_TPU or jax.default_backend() == "tpu")
             )
             if use_pallas:
                 from ..pallas_kernels.decode import fused_conv_ps_act

@@ -4,22 +4,25 @@ The deploy-mode NeRV block is ``act(pixel_shuffle(conv3x3(x)))`` (reference
 model.py:518-567).  Under XLA the conv output [H, W, C*s*s] round-trips
 through HBM and the pixel-shuffle transpose copies it again — at Bunny-720p
 stage 5 that intermediate is 177 MB/frame in bf16.  This kernel keeps the
-block in VMEM and writes only final pixels.
+whole block in VMEM and writes only final pixels; measured end-to-end it
+decodes ~30% faster than the XLA lowering (BENCHMARKS.md).
 
-Mosaic-friendly formulation (everything rides plain BlockSpec pipelining —
-no manual DMA, no lane-splitting reshapes, no dynamic lane slicing):
+Mosaic-friendly formulation (no lane-splitting reshapes, no dynamic lane
+slices, no manual DMA):
 
-* The 3-row halo comes from THREE row-shifted views of the zero-padded
-  input (rows [0:H], [1:H+1], [2:H+2]), each block-delivered per row-tile;
-  Mosaic double-buffers the fetches automatically.
+* Grid (batch, H-row-tiles).  The input row window WITH its 3x3 halo is a
+  single overlapping block: all dims ``pl.Element``-indexed over the
+  zero-padded input, start ``ti*TH`` (overlap is legal with element
+  indexing; Mosaic pipelines the fetches).
 * The fused conv weights are pre-permuted host-side so output channel
   ``(i*s + j)*C + c`` holds what PyTorch-ordered channel ``c*s*s + i*s + j``
-  held, and pre-split per sub-row ``i``: after this, pixel-shuffle is pure
-  row reindexing.
-* The grid is (batch, H-row-tiles, sub-row i).  Each program computes its
-  tile's output sub-rows ``h*s + i`` as 9 shifted [TH*W, Cin] @ [Cin, s*C]
-  MXU matmuls (f32 accumulation), bias + activation, then ONE supported
-  reshape [TH*W, s*C] -> [TH, W, s*C] (minor dim unchanged).
+  held — after this, pixel-shuffle is pure row/column reindexing.
+* The conv is ONE im2col MXU matmul [TH*W, 9*Cin] @ [9*Cin, s*s*C] with f32
+  accumulation (the lane-dim concat building im2col is VPU-cheap and the
+  big K amortizes MXU passes), then bias + activation.
+* Sub-row ``i`` is a static python loop: columns ``[i*s*C:(i+1)*s*C]`` slice
+  statically and one supported reshape [TH*W, s*C] -> [TH, W, s*C] (minor
+  dim unchanged) writes output plane ``out[:, :, i]``.
 * The kernel output is [B, H, s, W, s*C]; the final reshape to
   [B, H*s, W*s, C] is a row-major bitcast — XLA emits no copy.
 * The optional fused 1x1 RGB head + tanh/sigmoid squash (reference
@@ -50,16 +53,18 @@ def shuffle_weight_permutation(cout: int, stride: int) -> jnp.ndarray:
     return cc * s * s + ij
 
 
-def _pick_tile_h(h: int, w: int, cin: int, n_cols: int) -> int:
-    """Largest TH dividing h with tiles comfortably inside VMEM."""
-    budget = 6 * 1024 * 1024
+def _pick_tile_h(h: int, w: int, cin: int, cout: int) -> int:
+    """Largest TH dividing h with all tiles comfortably inside VMEM."""
+    budget = 9 * 1024 * 1024
     best = 1
     for th in range(1, h + 1):
         if h % th:
             continue
-        in_bytes = 3 * th * (w + 2) * cin * 2 * 2  # 3 views, double-buffered
-        acc_bytes = th * w * n_cols * 4
-        if in_bytes + acc_bytes <= budget:
+        window = 2 * (th + 2) * (w + 2) * cin * 2  # double-buffered input
+        im2col = th * w * 9 * cin * 2
+        acc = th * w * cout * 4
+        outb = 2 * th * w * cout * 2  # double-buffered output (bf16)
+        if window + im2col + acc + outb <= budget:
             best = th
         else:
             break
@@ -94,17 +99,10 @@ def fused_conv_ps_act(
 
     perm = shuffle_weight_permutation(Cout, s)
     w2 = w[..., perm].astype(compute_dtype)  # [3,3,Cin, s*s*C] shuffle-major
-    # pre-split by sub-row i -> [s, 3, 3, Cin, s*C]; BlockSpec hands each
-    # program its slice (Mosaic rejects dynamic lane-dim slicing in-kernel)
-    w3 = jnp.moveaxis(w2.reshape(3, 3, Cin, s, s * C), 3, 0)
-    bias2 = (
-        (b if b is not None else jnp.zeros((Cout,)))[perm]
-        .astype(jnp.float32)
-        .reshape(s, s * C)
-    )
+    bias2 = (b if b is not None else jnp.zeros((Cout,)))[perm].astype(
+        jnp.float32
+    ).reshape(1, Cout)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(compute_dtype)
-    # three row-shifted views supply the conv's dy taps without halo DMA
-    x_rows = [xp[:, dy : dy + H] for dy in range(3)]
     hw = head_w[0, 0].astype(jnp.float32) if with_head else jnp.zeros((1, 1))
     hb = (
         head_b.astype(jnp.float32)
@@ -112,47 +110,55 @@ def fused_conv_ps_act(
         else jnp.zeros((c_final,), jnp.float32)
     )
 
-    n_cols = s * C  # matmul N per program
-    TH = _pick_tile_h(H, W, Cin, n_cols)
-    grid = (B, H // TH, s)
+    TH = _pick_tile_h(H, W, Cin, Cout)
+    grid = (B, H // TH)
     out_cols = s * c_final if with_head else s * C
 
-    def kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, hw_ref, hb_ref, out_ref):
-        i = pl.program_id(2)
-        rows = (x0_ref, x1_ref, x2_ref)
-        acc = jnp.zeros((TH * W, n_cols), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                win = rows[dy][0, :, dx : dx + W, :].reshape(TH * W, Cin)
-                acc += jnp.dot(
-                    win,
-                    w_ref[0, dy, dx],
-                    preferred_element_type=jnp.float32,
-                )
-        acc += b_ref[i].reshape(1, n_cols)
+    def kernel(x_ref, w_ref, b_ref, hw_ref, hb_ref, out_ref):
+        taps = [
+            x_ref[0, dy : dy + TH, dx : dx + W, :].reshape(TH * W, Cin)
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        win = jnp.concatenate(taps, axis=-1)  # [TH*W, 9*Cin]
+        acc = jnp.dot(
+            win,
+            w_ref[:].reshape(9 * Cin, Cout),
+            preferred_element_type=jnp.float32,
+        )
+        acc += b_ref[:]
         acc = activation(acc, act)
-        if with_head:
-            pieces = []
-            for j in range(s):
-                rgb = (
-                    jnp.dot(
-                        acc[:, j * C : (j + 1) * C],
-                        hw_ref[:],
-                        preferred_element_type=jnp.float32,
+        for i in range(s):
+            piece = acc[:, i * s * C : (i + 1) * s * C]  # [TH*W, s*C]
+            if with_head:
+                parts = []
+                for j in range(s):
+                    rgb = (
+                        jnp.dot(
+                            piece[:, j * C : (j + 1) * C],
+                            hw_ref[:],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + hb_ref[:].reshape(1, c_final)
                     )
-                    + hb_ref[:].reshape(1, c_final)
-                )
-                if out_squash == "sigmoid":
-                    rgb = jax.nn.sigmoid(rgb)
-                else:
-                    rgb = (jnp.tanh(rgb) + 1.0) * 0.5
-                pieces.append(rgb)
-            acc = jnp.concatenate(pieces, axis=-1)  # [TH*W, s*c_final]
-        out_ref[0, :, 0] = acc.reshape(TH, W, out_cols).astype(out_ref.dtype)
+                    if out_squash == "sigmoid":
+                        rgb = jax.nn.sigmoid(rgb)
+                    else:
+                        rgb = (jnp.tanh(rgb) + 1.0) * 0.5
+                    parts.append(rgb)
+                piece = jnp.concatenate(parts, axis=-1)  # [TH*W, s*c_final]
+            out_ref[0, :, i] = piece.reshape(TH, W, out_cols).astype(
+                out_ref.dtype
+            )
 
-    row_spec = pl.BlockSpec(
-        (1, TH, W + 2, Cin),
-        lambda bi, ti, i: (bi, ti, 0, 0),
+    window_spec = pl.BlockSpec(
+        (
+            pl.Element(1),
+            pl.Element(TH + 2),
+            pl.Element(W + 2),
+            pl.Element(Cin),
+        ),  # overlapping halo window; Mosaic wants all-or-none Element dims
+        lambda bi, ti: (bi, ti * TH, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_dtype = jnp.float32 if with_head else compute_dtype
@@ -160,35 +166,27 @@ def fused_conv_ps_act(
         kernel,
         grid=grid,
         in_specs=[
-            row_spec,
-            row_spec,
-            row_spec,
-            pl.BlockSpec(
-                (1, 3, 3, Cin, n_cols),
-                lambda bi, ti, i: (i, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            # full (s, s*C) bias in VMEM; sub-row i indexes the sublane dim
-            # in-kernel (a (1, n_cols) block would break the (8,128) rule)
+            window_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, TH, 1, W, out_cols),
-            lambda bi, ti, i: (bi, ti, i, 0, 0),
+            (1, TH, s, W, out_cols),
+            lambda bi, ti: (bi, ti, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, s, W, out_cols), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * B * H * W * Cin * Cout,
-            bytes_accessed=xp.size * 2 * 3 + B * H * s * W * out_cols * 4,
+            bytes_accessed=xp.size * 2 + B * H * s * W * out_cols * 4,
             transcendentals=B * H * W * Cout,
         ),
         interpret=interpret,
-    )(x_rows[0], x_rows[1], x_rows[2], w3, bias2, hw, hb)
+    )(xp, w2, bias2, hw, hb)
     # free bitcast: [B, H, s, W, s*c] is row-major-identical to the target
     return out5.reshape(B, H * s, W * s, c_final)

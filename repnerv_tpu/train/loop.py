@@ -216,6 +216,28 @@ def make_decode_fn(cfg: TrainConfig):
     return jax.jit(decode)
 
 
+def make_video_decode_fn(cfg: TrainConfig, *, keep_frames: bool = True):
+    """Whole-video decode in ONE dispatch: ``lax.scan`` over frame batches.
+
+    (params, t [n_batches, B]) -> frames [n_batches, B, H, W, 3] (f32) when
+    ``keep_frames``, else a per-batch checksum [n_batches] (decode-and-
+    discard, the pure-throughput serving measurement).  One host round-trip
+    for the entire video vs one per frame in the reference.
+    """
+    mcfg = cfg.model
+
+    def decode_all(params, t_batches):
+        def body(_, t):
+            embed = positional_encoding(t, mcfg.embed)
+            out = apply_generator(params, embed, mcfg, train=False)[-1]
+            return None, (out if keep_frames else jnp.sum(out))
+
+        _, ys = jax.lax.scan(body, None, t_batches)
+        return ys
+
+    return jax.jit(decode_all)
+
+
 @dataclass
 class EpochMetrics:
     psnr: np.ndarray  # [n_stage]

@@ -87,6 +87,7 @@ def test_generator_pallas_path_interpret(monkeypatch):
         dec, "fused_conv_ps_act", lambda *a, **k: orig(*a, **{**k, "interpret": True})
     )
     monkeypatch.setattr(gen, "PALLAS_MIN_PIXELS", 1)
+    monkeypatch.setattr(gen, "PALLAS_REQUIRE_TPU", False)
 
     cfg = tiny_model(branch_type="ERB", fc_hw_dim="8_8_8", strides=(2, 2), lower_width=8)
     params = init_generator(jax.random.PRNGKey(3), cfg)
