@@ -71,6 +71,7 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--deploy", action="store_true", default=False)
     p.add_argument("--eval_only", action="store_true", default=False)
     p.add_argument("--eval_freq", type=int, default=50)
+    p.add_argument("--ckpt_freq", type=int, default=1, help="epochs between checkpoint writes")
     p.add_argument("--quant_bit", type=int, default=-1)
     p.add_argument("--quant_axis", type=int, default=0)
     p.add_argument("--dump_images", action="store_true", default=False)
@@ -100,6 +101,7 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--no_online_fuse", action="store_true")
     p.add_argument("--no_pallas_decode", action="store_true")
+    p.add_argument("--remat", action="store_true", help="rematerialize block activations in backward")
     p.add_argument("--profile", action="store_true", help="capture a JAX profiler trace of epoch 1")
     return p
 
@@ -125,6 +127,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         compute_dtype=a.compute_dtype,
         online_fuse=not a.no_online_fuse,
         use_pallas_decode=not a.no_pallas_decode,
+        remat=a.remat,
     )
     data = DataConfig(
         dataset=a.dataset,
@@ -148,6 +151,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         loss_type=a.loss_type,
         lw=a.lw,
         eval_freq=1 if a.debug else a.eval_freq,
+        ckpt_freq=a.ckpt_freq,
         eval_fps=a.eval_fps,
         manual_seed=a.manualSeed,
         print_freq=a.print_freq,

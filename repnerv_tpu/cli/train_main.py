@@ -12,10 +12,8 @@ TPU deltas: one jitted step per GOP batch; optional mesh data-parallelism
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-import sys
 import time
 from datetime import datetime
 
@@ -109,6 +107,7 @@ def run_training(cfg: TrainConfig) -> dict:
 
     use_mesh = bool(cfg.mesh_shape) and len(jax.devices()) > 1
     fused = cfg.fused_epoch and not use_mesh and not cfg.profile
+    with_msssim = store.hw[0] >= 176
     if use_mesh:
         from ..parallel.sharding import (
             make_mesh,
@@ -121,12 +120,10 @@ def run_training(cfg: TrainConfig) -> dict:
         train_step = make_sharded_train_step(cfg, steps_per_epoch, mesh)
     elif fused:
         # whole-epoch scan: one dispatch per epoch over the HBM-resident video
-        train_step = make_epoch_fn(cfg, steps_per_epoch)
+        train_step = make_epoch_fn(cfg, steps_per_epoch, with_msssim=with_msssim)
     else:
-        train_step = make_train_step(cfg, steps_per_epoch)
-    eval_step = make_eval_step(cfg)
-
-    with_msssim = store.hw[0] >= 176
+        train_step = make_train_step(cfg, steps_per_epoch, with_msssim=with_msssim)
+    eval_step = make_eval_step(cfg, with_msssim=with_msssim)
     bests = {
         "train_best_psnr": 0.0,
         "train_best_msssim": 0.0,
@@ -182,6 +179,11 @@ def run_training(cfg: TrainConfig) -> dict:
         )
 
         extra = {"epoch": epoch + 1, **bests}
+        save_now = (
+            (epoch + 1) % cfg.ckpt_freq == 0
+            or epoch == cfg.epochs - 1
+            or is_train_best
+        )
         if (epoch + 1) % cfg.eval_freq == 0 or epoch > cfg.epochs - 10:
             val_t0 = time.perf_counter()
             val_psnr, val_msssim = evaluate(
@@ -217,9 +219,10 @@ def run_training(cfg: TrainConfig) -> dict:
                     extra,
                 )
 
-        ckpt.save_pth(
-            os.path.join(outf, "model_latest.pth"), state.params, cfg.model, extra
-        )
+        if save_now:
+            ckpt.save_pth(
+                os.path.join(outf, "model_latest.pth"), state.params, cfg.model, extra
+            )
         if is_train_best:
             ckpt.save_pth(
                 os.path.join(outf, "model_train_best.pth"),
@@ -227,8 +230,8 @@ def run_training(cfg: TrainConfig) -> dict:
                 cfg.model,
                 extra,
             )
-        if reparam:
-            # per-epoch deploy snapshot (reference main_train.py:332-351)
+        if reparam and save_now:
+            # deploy snapshot (per-epoch in the reference, main_train.py:332-351)
             dep_params, dep_cfg = generator_to_deploy(state.params, cfg.model)
             ckpt.save_pth(
                 os.path.join(outf, "model_latest_deploy.pth"),
@@ -244,6 +247,8 @@ def run_training(cfg: TrainConfig) -> dict:
                     extra,
                 )
         # resumable native checkpoint
+        if not save_now:
+            continue
         ckpt.save_orbax(
             outf,
             "orbax_latest",

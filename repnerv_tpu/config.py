@@ -54,6 +54,7 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16" compute precision
     online_fuse: bool = True  # run one fused conv per block instead of branch-sum
     use_pallas_decode: bool = True  # fused Pallas conv+PS+act(+head) decode kernel
+    remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM in backward
     # (auto-gated: deploy graphs, norm=none, TPU backend, big stages only)
 
     @property
@@ -104,6 +105,7 @@ class TrainConfig:
     loss_type: str = "Fusion6"
     lw: float = 1.0  # loss weight on all but the last multi-scale head
     eval_freq: int = 50
+    ckpt_freq: int = 1  # epochs between checkpoint writes (1 = reference cadence)
     eval_fps: bool = False
     manual_seed: int = 1
     print_freq: int = 50
