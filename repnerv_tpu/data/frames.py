@@ -72,23 +72,52 @@ def load_frame_dir(
 def synthetic_video(
     n_frames: int, h: int, w: int, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Deterministic synthetic video for tests/benches: moving smooth
-    gradients + a translating box — compressible but not trivial."""
+    """Deterministic synthetic video for tests/benches.
+
+    Natural-image-like statistics matter: perfectly smooth global sinusoids
+    make SSIM-based losses degenerate (near-zero local variance drives the
+    structure term's gradients pathologically).  So frames are a translating
+    multi-octave value-noise texture (1/f-ish spectrum) + smooth gradients +
+    a moving bright box.
+    """
     rng = np.random.default_rng(seed)
     yy, xx = np.meshgrid(
         np.linspace(0, 1, h, dtype=np.float32),
         np.linspace(0, 1, w, dtype=np.float32),
         indexing="ij",
     )
+    # static multi-octave texture (bilinear-upsampled noise octaves)
+    def octave(cells_y, cells_x, amp):
+        g = rng.standard_normal((3, cells_y + 1, cells_x + 1)).astype(np.float32)
+        ys = np.linspace(0, cells_y, h, dtype=np.float32)
+        xs = np.linspace(0, cells_x, w, dtype=np.float32)
+        y0 = np.clip(ys.astype(np.int32), 0, cells_y - 1)
+        x0 = np.clip(xs.astype(np.int32), 0, cells_x - 1)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        out = np.empty((h, w, 3), np.float32)
+        for c in range(3):
+            gc = g[c]
+            top = gc[y0][:, x0] * (1 - fx) + gc[y0][:, x0 + 1] * fx
+            bot = gc[y0 + 1][:, x0] * (1 - fx) + gc[y0 + 1][:, x0 + 1] * fx
+            out[:, :, c] = top * (1 - fy) + bot * fy
+        return out * amp
+
+    texture = (
+        octave(4, 6, 0.5)
+        + octave(12, 20, 0.25)
+        + octave(36, 60, 0.12)
+        + octave(max(h // 8, 2), max(w // 8, 2), 0.06)
+    )
     phases = rng.uniform(0, 2 * np.pi, size=(3,)).astype(np.float32)
-    freqs = rng.uniform(1.5, 4.0, size=(3, 2)).astype(np.float32)
+    freqs = rng.uniform(1.0, 2.5, size=(3, 2)).astype(np.float32)
+
     frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
     for n in range(n_frames):
         t = n / max(n_frames, 1)
-        img = np.stack(
+        base = np.stack(
             [
-                0.5
-                + 0.5
+                0.3
                 * np.sin(
                     2 * np.pi * (freqs[c, 0] * yy + freqs[c, 1] * xx)
                     + phases[c]
@@ -98,13 +127,15 @@ def synthetic_video(
             ],
             axis=-1,
         )
-        # translating bright box
+        # texture translates over time (circular shift)
+        sy = int(t * h * 0.5) % h
+        sx = int(t * w * 0.25) % w
+        tex = np.roll(texture, (sy, sx), axis=(0, 1))
+        img = 0.5 + base + tex
         bh, bw = h // 4, w // 4
         y0 = int((h - bh) * t)
         x0 = int((w - bw) * (0.5 + 0.5 * np.sin(2 * np.pi * t)))
-        img[y0 : y0 + bh, x0 : x0 + bw] = np.clip(
-            img[y0 : y0 + bh, x0 : x0 + bw] + 0.4, 0, 1
-        )
+        img[y0 : y0 + bh, x0 : x0 + bw] += 0.3
         frames[n] = np.round(np.clip(img, 0, 1) * 255).astype(np.uint8)
     t_all = np.arange(n_frames, dtype=np.float32) / n_frames
     return frames, t_all

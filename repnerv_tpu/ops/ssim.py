@@ -34,19 +34,27 @@ def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
 
 
 def _gaussian_filter(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable VALID gaussian blur, NHWC."""
-    c = x.shape[-1]
+    """Depthwise separable VALID gaussian blur, NHWC.
+
+    Implemented as weighted sums of shifted slices (pure f32 VPU adds), NOT
+    a conv: on TPU the default conv precision is bf16, whose ~1e-3 rounding
+    on E[x^2] exceeds C2 = 9e-4, so the variance `filter(x*x) - mu^2` can
+    come out <= -C2, the structure term's denominator crosses zero, and the
+    loss gradient develops ~1e5 singularities that permanently poison Adam's
+    second moment.  (HIGHEST-precision grouped convs avoid that too but
+    lower ~6x slower on TPU; the slice-sum form is exact AND fast — XLA
+    fuses the 11 shifted adds into one pass.)
+    """
     size = win.shape[0]
-    wh = jnp.tile(win.reshape(size, 1, 1, 1), (1, 1, 1, c)).astype(x.dtype)
-    ww = jnp.tile(win.reshape(1, size, 1, 1), (1, 1, 1, c)).astype(x.dtype)
-    dn = ("NHWC", "HWIO", "NHWC")
-    x = lax.conv_general_dilated(
-        x, wh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
-    )
-    x = lax.conv_general_dilated(
-        x, ww, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
-    )
-    return x
+    h = x.shape[1]
+    acc = win[0] * x[:, : h - size + 1]
+    for k in range(1, size):
+        acc = acc + win[k].astype(x.dtype) * x[:, k : k + h - size + 1]
+    w = x.shape[2]
+    out = win[0] * acc[:, :, : w - size + 1]
+    for k in range(1, size):
+        out = out + win[k].astype(x.dtype) * acc[:, :, k : k + w - size + 1]
+    return out
 
 
 def _ssim_maps(
