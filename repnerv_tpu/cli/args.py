@@ -98,7 +98,7 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--suffix", default="")
 
     # TPU-only knobs
-    p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16", "mixed"])
     p.add_argument("--no_online_fuse", action="store_true")
     p.add_argument("--no_pallas_decode", action="store_true")
     p.add_argument("--remat", action="store_true", help="rematerialize block activations in backward")

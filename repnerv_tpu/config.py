@@ -51,7 +51,9 @@ class ModelConfig:
     conv_type: str = "conv"  # kept for flag parity (dead in reference, model.py:143)
 
     # TPU-specific knobs (no reference counterpart)
-    compute_dtype: str = "float32"  # "float32" | "bfloat16" compute precision
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" | "mixed"
+    # ("mixed" = bf16 stages with the final block + RGB head in f32: ~bf16
+    #  speed with near-f32 convergence)
     online_fuse: bool = True  # run one fused conv per block instead of branch-sum
     use_pallas_decode: bool = True  # fused Pallas conv+PS+act(+head) decode kernel
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM in backward

@@ -88,7 +88,8 @@ def apply_generator(
     train: bool = True,
 ) -> List[jnp.ndarray]:
     """embed [B, embed_length] -> list of NHWC frames (one per active head)."""
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    lowp = cfg.compute_dtype in ("bfloat16", "mixed")
+    dtype = jnp.bfloat16 if lowp else jnp.float32
     h, w, c = cfg.fc_hwd
 
     x = apply_mlp(params["stem"], embed, cfg.act, dtype=dtype)
@@ -103,6 +104,11 @@ def apply_generator(
             _, _, stride = plan[block_idx]
             bparams = params["blocks"][block_idx]
             is_last_block = block_idx == len(params["blocks"]) - 1
+            if cfg.compute_dtype == "mixed" and is_last_block:
+                # final block + head in f32: the output stage dominates
+                # quality sensitivity while costing a minor share of FLOPs
+                x = x.astype(jnp.float32)
+                dtype = jnp.float32
             use_pallas = (
                 cfg.use_pallas_decode
                 and not train

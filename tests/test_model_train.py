@@ -332,3 +332,18 @@ def test_fused_epoch_respects_max_steps():
     epoch_fn = make_epoch_fn(cfg, steps_per_epoch=2, with_msssim=False)
     state, m = run_fused_epoch(state, epoch_fn, store, cfg, 0, max_steps=1)
     assert int(state.step) == 1
+
+
+def test_mixed_precision_mode():
+    """'mixed' = bf16 stages, f32 final block + head; output finite f32."""
+    cfg = tiny_model(branch_type="ERB", compute_dtype="mixed")
+    params = init_generator(jax.random.PRNGKey(0), cfg)
+    emb = positional_encoding(jnp.asarray([0.2, 0.8]), cfg.embed)
+    out = apply_generator(params, emb, cfg)[0]
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+    # close to the f32 graph (bf16 stage rounding only)
+    f32 = apply_generator(
+        params, emb, dataclasses.replace(cfg, compute_dtype="float32")
+    )[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(f32), atol=0.05)
