@@ -87,3 +87,15 @@ def test_split_channels():
     assert split_channels(13, 6) == [3, 2, 2, 2, 2, 2]
     assert split_channels(12, 6) == [2, 2, 2, 2, 2, 2]
     assert sum(split_channels(100, 7)) == 100
+
+
+def test_uvg_1080p_config_shapes():
+    """BASELINE.md config 5: UVG 1080p with scaled fc_hw_dim; the schedule
+    must produce 1080x1920 with NeRV's standard 1080p strides."""
+    from repnerv_tpu.config import output_hw, stage_channels
+
+    cfg = ModelConfig(fc_hw_dim="9_16_48", strides=(5, 3, 2, 2, 2), lower_width=96)
+    assert output_hw(cfg) == (1080, 1920)
+    plan = stage_channels(cfg)
+    assert plan[0] == (48, 48, 5)
+    assert all(c >= 96 for _, c, _ in plan[1:])
