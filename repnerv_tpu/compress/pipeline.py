@@ -83,8 +83,12 @@ def finetune(
 ) -> Params:
     """Masked fine-tuning with a fresh Adam (main_eval.py:405-417,450-531).
 
-    The LR schedule runs over ``finetune_epochs`` with the same warmup/decay
-    machinery as training.
+    The LR schedule runs a fresh warmup+decay over ``finetune_epochs``.
+    Deliberate deviation: the reference reuses the 300-epoch schedule with
+    ``cur_epoch`` already past the cosine's end (main_eval.py:474 passes
+    ``epoch % total_epochs`` with start_epoch≈300), which evaluates the
+    cosine beyond pi and yields lr_mult ≈ 0 — its finetune barely updates.
+    A fresh schedule makes finetuning actually recover pruned quality.
     """
     import dataclasses as dc
 
