@@ -105,6 +105,10 @@ def run_training(cfg: TrainConfig) -> dict:
     except Exception:
         writer = None
 
+    if bool(cfg.mesh_shape):
+        from ..parallel.sharding import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     use_mesh = bool(cfg.mesh_shape) and len(jax.devices()) > 1
     fused = cfg.fused_epoch and not use_mesh and not cfg.profile
     with_msssim = store.hw[0] >= 176

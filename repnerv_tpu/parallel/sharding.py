@@ -36,6 +36,25 @@ from ..config import TrainConfig
 Params = Dict[str, Any]
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up: call ``jax.distributed.initialize`` when the
+    standard coordinator env vars are present (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID).  The same mesh code then spans
+    hosts — ICI within a slice, DCN across (SURVEY.md §5.8: the reference's
+    torch.distributed path was never initialized; this one is real)."""
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
+
+
 def make_mesh(
     shape: Sequence[int] = (),
     axes: Sequence[str] = ("data",),
