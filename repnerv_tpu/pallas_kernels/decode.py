@@ -190,3 +190,196 @@ def fused_conv_ps_act(
     )(xp, w2, bias2, hw, hb)
     # free bitcast: [B, H, s, W, s*c] is row-major-identical to the target
     return out5.reshape(B, H * s, W * s, c_final)
+
+
+def fused_conv_ps_act_x2(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: Optional[jnp.ndarray],
+    w2: jnp.ndarray,
+    b2: Optional[jnp.ndarray],
+    act: str = "swish",
+    *,
+    head_w: Optional[jnp.ndarray] = None,
+    head_b: Optional[jnp.ndarray] = None,
+    out_squash: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TWO chained stride-2 blocks (+ optional head) in one VMEM pass:
+
+        y   = act(pixel_shuffle2(conv3x3(x,  w1) + b1))
+        out = act(pixel_shuffle2(conv3x3(y,  w2) + b2))  [-> head -> squash]
+
+    The intermediate ``y`` (177 MB/frame bf16 at Bunny-720p stage 5 input)
+    never touches HBM.  Both pixel-shuffles use the shuffle-major weight
+    permutation so they are pure row reindexing; the stage-2 conv consumes
+    ``y`` directly from VMEM with a 2-row halo recomputed from the stage-1
+    tile (one extra x-row of overlap per side).
+
+    Shapes: x [B,H,W,C1]; w1 [3,3,C1,4*C2]; w2 [3,3,C2,4*C3];
+    head_w [1,1,C3,3].  Output [B, 4H, 4W, C3] (or [..., 3] with head).
+    """
+    B, H, W, C1 = x.shape
+    s = 2
+    C2 = w1.shape[-1] // 4
+    C3 = w2.shape[-1] // 4
+    with_head = head_w is not None
+    c_final = head_w.shape[-1] if with_head else C3
+
+    p1 = shuffle_weight_permutation(w1.shape[-1], s)
+    w1p = w1[..., p1].astype(compute_dtype)
+    b1p = (b1 if b1 is not None else jnp.zeros((w1.shape[-1],)))[p1].astype(
+        jnp.float32
+    ).reshape(1, 4 * C2)
+    p2 = shuffle_weight_permutation(w2.shape[-1], s)
+    w2p = w2[..., p2].astype(compute_dtype)
+    b2p = (b2 if b2 is not None else jnp.zeros((w2.shape[-1],)))[p2].astype(
+        jnp.float32
+    ).reshape(1, 4 * C3)
+    xp = jnp.pad(x, ((0, 0), (2, 2), (1, 1), (0, 0))).astype(compute_dtype)
+    hw = head_w[0, 0].astype(jnp.float32) if with_head else jnp.zeros((1, 1))
+    hb = (
+        head_b.astype(jnp.float32)
+        if with_head and head_b is not None
+        else jnp.zeros((c_final,), jnp.float32)
+    )
+
+    # tile: TXH x-rows -> 2*TXH y-rows -> 4*TXH output rows
+    TXH = 1
+    while TXH < H:
+        cand = TXH * 2
+        if H % cand:
+            break
+        win_b = (cand + 4) * (W + 2) * C1 * 2 * 2
+        col1 = cand * W * 9 * C1 * 2
+        y_b = (2 * cand + 2) * (2 * W + 2) * C2 * 2
+        col2 = 2 * cand * 2 * W * 9 * C2 * 2
+        acc2 = 2 * cand * 2 * W * 4 * C3 * 4
+        if win_b + col1 + y_b + col2 + acc2 > 8 * 1024 * 1024:
+            break
+        TXH = cand
+    grid = (B, H // TXH)
+    out_cols = s * c_final if with_head else s * C3
+    TY = 2 * TXH  # y rows produced per tile (without halo)
+
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, hw_ref, hb_ref, out_ref):
+        # ---- stage 1: compute y rows [-1 .. TY+1) (2-row halo for conv2)
+        # x_ref block: rows [ti*TXH - 2 .. ti*TXH + TXH + 2) of padded x,
+        # i.e. TXH + 4 rows; conv1 over them yields TXH + 2 x-level rows ->
+        # 2*(TXH+2) = TY + 4 y rows; we need TY + 2 (1-row halo each side),
+        # so drop the outermost y row on each side after shuffling.
+        nx = TXH + 2
+        taps1 = [
+            x_ref[0, dy : dy + nx, dx : dx + W, :].reshape(nx * W, C1)
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        win1 = jnp.concatenate(taps1, axis=-1)
+        acc1 = jnp.dot(
+            win1,
+            w1_ref[:].reshape(9 * C1, 4 * C2),
+            preferred_element_type=jnp.float32,
+        )
+        acc1 += b1_ref[:]
+        acc1 = activation(acc1, act)
+        # shuffle-major cols ((i*2+j)*C2 + c): rows (r, i) interleave to y
+        # row 2r+i; cols (w, j) interleave to y col 2w+j.
+        a = acc1.reshape(nx, W, 4 * C2)
+        y_rows = []
+        for i in range(2):
+            piece = a[:, :, i * 2 * C2 : (i + 1) * 2 * C2]  # [nx, W, 2*C2]
+            y_rows.append(piece.reshape(nx, 2 * W, C2))  # (w,j,c) flat
+        # interleave rows i=0/1: y[(r,i)] -> stack on new axis then reshape
+        y_full = jnp.stack(y_rows, axis=1).reshape(2 * nx, 2 * W, C2)
+        y = y_full[1 : 1 + TY + 2]  # TY + 2 rows: 1-halo, TY, 1-halo
+        # stage-2 SAME padding means the halo OUTSIDE the image is zero, but
+        # at the global top/bottom the rows above were computed from x's
+        # padding (conv-of-padding != zero) — mask them out
+        ti = pl.program_id(1)
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (TY + 2, 1, 1), 0)
+            + ti * TY
+            - 1
+        )
+        y = jnp.where((row_ids >= 0) & (row_ids < 2 * H), y, 0.0)
+        y = jnp.pad(y, ((0, 0), (1, 1), (0, 0))).astype(compute_dtype)
+
+        # ---- stage 2 over y
+        taps2 = [
+            y[dy : dy + TY, dx : dx + 2 * W, :].reshape(TY * 2 * W, C2)
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        win2 = jnp.concatenate(taps2, axis=-1)
+        acc2 = jnp.dot(
+            win2,
+            w2_ref[:].reshape(9 * C2, 4 * C3),
+            preferred_element_type=jnp.float32,
+        )
+        acc2 += b2_ref[:]
+        acc2 = activation(acc2, act)
+        for i in range(2):
+            piece = acc2[:, i * 2 * C3 : (i + 1) * 2 * C3]
+            if with_head:
+                parts = []
+                for j in range(2):
+                    rgb = (
+                        jnp.dot(
+                            piece[:, j * C3 : (j + 1) * C3],
+                            hw_ref[:],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + hb_ref[:].reshape(1, c_final)
+                    )
+                    if out_squash == "sigmoid":
+                        rgb = jax.nn.sigmoid(rgb)
+                    else:
+                        rgb = (jnp.tanh(rgb) + 1.0) * 0.5
+                    parts.append(rgb)
+                piece = jnp.concatenate(parts, axis=-1)
+            out_ref[0, :, i] = piece.reshape(TY, 2 * W, out_cols).astype(
+                out_ref.dtype
+            )
+
+    window_spec = pl.BlockSpec(
+        (
+            pl.Element(1),
+            pl.Element(TXH + 4),
+            pl.Element(W + 2),
+            pl.Element(C1),
+        ),
+        lambda bi, ti: (bi, ti * TXH, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_dtype = jnp.float32 if with_head else compute_dtype
+    out5 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            window_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TY, s, 2 * W, out_cols),
+            lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * H, s, 2 * W, out_cols), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * B * H * W * C1 * 4 * C2
+            + 2 * 9 * B * 4 * H * W * C2 * 4 * C3,
+            bytes_accessed=xp.size * 2 + B * 16 * H * W * c_final * 4,
+            transcendentals=B * H * W * (4 * C2 + 16 * C3),
+        ),
+        interpret=interpret,
+    )(xp, w1p, b1p, w2p, b2p, hw, hb)
+    return out5.reshape(B, 4 * H, 4 * W, c_final)
