@@ -128,7 +128,8 @@ def apply_generator(
                 # the full-resolution intermediate never exists in HBM
                 last_params = params["blocks"][-1]
                 if (
-                    cfg.num_blocks == 1
+                    cfg.pallas_x2
+                    and cfg.num_blocks == 1
                     and block_idx == len(params["blocks"]) - 2
                     and head is None
                     and params["heads"][-1] is not None

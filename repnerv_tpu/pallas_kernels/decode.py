@@ -227,16 +227,33 @@ def fused_conv_ps_act_x2(
     with_head = head_w is not None
     c_final = head_w.shape[-1] if with_head else C3
 
+    # pre-split per shuffle position (i*2+j) so each in-kernel matmul output
+    # is a whole, offset-0 vector — Mosaic rejects concats/reshapes of lane
+    # slices taken at non-128-aligned offsets
     p1 = shuffle_weight_permutation(w1.shape[-1], s)
-    w1p = w1[..., p1].astype(compute_dtype)
-    b1p = (b1 if b1 is not None else jnp.zeros((w1.shape[-1],)))[p1].astype(
-        jnp.float32
-    ).reshape(1, 4 * C2)
+    w1p = (
+        w1[..., p1]
+        .astype(compute_dtype)
+        .reshape(9 * C1, 4, C2)
+        .transpose(1, 0, 2)
+    )  # [4, 9*C1, C2]
+    b1p = (
+        (b1 if b1 is not None else jnp.zeros((w1.shape[-1],)))[p1]
+        .astype(jnp.float32)
+        .reshape(4, 1, C2)
+    )
     p2 = shuffle_weight_permutation(w2.shape[-1], s)
-    w2p = w2[..., p2].astype(compute_dtype)
-    b2p = (b2 if b2 is not None else jnp.zeros((w2.shape[-1],)))[p2].astype(
-        jnp.float32
-    ).reshape(1, 4 * C3)
+    w2p = (
+        w2[..., p2]
+        .astype(compute_dtype)
+        .reshape(9 * C2, 4, C3)
+        .transpose(1, 0, 2)
+    )  # [4, 9*C2, C3]
+    b2p = (
+        (b2 if b2 is not None else jnp.zeros((w2.shape[-1],)))[p2]
+        .astype(jnp.float32)
+        .reshape(4, 1, C3)
+    )
     xp = jnp.pad(x, ((0, 0), (2, 2), (1, 1), (0, 0))).astype(compute_dtype)
     hw = head_w[0, 0].astype(jnp.float32) if with_head else jnp.zeros((1, 1))
     hb = (
@@ -276,21 +293,23 @@ def fused_conv_ps_act_x2(
             for dx in range(3)
         ]
         win1 = jnp.concatenate(taps1, axis=-1)
-        acc1 = jnp.dot(
-            win1,
-            w1_ref[:].reshape(9 * C1, 4 * C2),
-            preferred_element_type=jnp.float32,
-        )
-        acc1 += b1_ref[:]
-        acc1 = activation(acc1, act)
-        # shuffle-major cols ((i*2+j)*C2 + c): rows (r, i) interleave to y
-        # row 2r+i; cols (w, j) interleave to y col 2w+j.
-        a = acc1.reshape(nx, W, 4 * C2)
-        y_rows = []
-        for i in range(2):
-            piece = a[:, :, i * 2 * C2 : (i + 1) * 2 * C2]  # [nx, W, 2*C2]
-            y_rows.append(piece.reshape(nx, 2 * W, C2))  # (w,j,c) flat
-        # interleave rows i=0/1: y[(r,i)] -> stack on new axis then reshape
+        # one matmul per shuffle position (i*2+j): each y sub-grid is a
+        # whole matmul output (offset-0 layout), so the interleaving stacks
+        # below are Mosaic-legal
+        y_grid = []
+        for k in range(4):
+            acc = jnp.dot(
+                win1, w1_ref[k], preferred_element_type=jnp.float32
+            )
+            acc += b1_ref[k]
+            y_grid.append(activation(acc, act).reshape(nx, W, C2))
+        # cols (w, j) interleave to y col 2w+j; rows (r, i) to y row 2r+i
+        y_rows = [
+            jnp.stack([y_grid[i * 2], y_grid[i * 2 + 1]], axis=2).reshape(
+                nx, 2 * W, C2
+            )
+            for i in range(2)
+        ]
         y_full = jnp.stack(y_rows, axis=1).reshape(2 * nx, 2 * W, C2)
         y = y_full[1 : 1 + TY + 2]  # TY + 2 rows: 1-halo, TY, 1-halo
         # stage-2 SAME padding means the halo OUTSIDE the image is zero, but
@@ -312,32 +331,28 @@ def fused_conv_ps_act_x2(
             for dx in range(3)
         ]
         win2 = jnp.concatenate(taps2, axis=-1)
-        acc2 = jnp.dot(
-            win2,
-            w2_ref[:].reshape(9 * C2, 4 * C3),
-            preferred_element_type=jnp.float32,
-        )
-        acc2 += b2_ref[:]
-        acc2 = activation(acc2, act)
         for i in range(2):
-            piece = acc2[:, i * 2 * C3 : (i + 1) * 2 * C3]
-            if with_head:
-                parts = []
-                for j in range(2):
-                    rgb = (
+            parts = []
+            for j in range(2):
+                k = i * 2 + j
+                acc = jnp.dot(
+                    win2, w2_ref[k], preferred_element_type=jnp.float32
+                )
+                acc += b2_ref[k]
+                acc = activation(acc, act)  # [TY*2W, C3]
+                if with_head:
+                    acc = (
                         jnp.dot(
-                            piece[:, j * C3 : (j + 1) * C3],
-                            hw_ref[:],
-                            preferred_element_type=jnp.float32,
+                            acc, hw_ref[:], preferred_element_type=jnp.float32
                         )
                         + hb_ref[:].reshape(1, c_final)
                     )
                     if out_squash == "sigmoid":
-                        rgb = jax.nn.sigmoid(rgb)
+                        acc = jax.nn.sigmoid(acc)
                     else:
-                        rgb = (jnp.tanh(rgb) + 1.0) * 0.5
-                    parts.append(rgb)
-                piece = jnp.concatenate(parts, axis=-1)
+                        acc = (jnp.tanh(acc) + 1.0) * 0.5
+                parts.append(acc)
+            piece = jnp.concatenate(parts, axis=-1)  # [TY*2W, 2*(C3|3)]
             out_ref[0, :, i] = piece.reshape(TY, 2 * W, out_cols).astype(
                 out_ref.dtype
             )

@@ -145,7 +145,7 @@ def test_generator_two_stage_pallas_wiring(monkeypatch):
     monkeypatch.setattr(gen, "PALLAS_MIN_PIXELS", 1)
     monkeypatch.setattr(gen, "PALLAS_REQUIRE_TPU", False)
 
-    cfg = tiny_model(branch_type="ERB", fc_hw_dim="4_6_8", strides=(2, 2, 2), lower_width=4)
+    cfg = tiny_model(branch_type="ERB", fc_hw_dim="4_6_8", strides=(2, 2, 2), lower_width=4, pallas_x2=True)
     params = init_generator(jax.random.PRNGKey(5), cfg)
     dep, dep_cfg = generator_to_deploy(params, cfg)
     emb = positional_encoding(jnp.asarray([0.15, 0.65]), cfg.embed)
