@@ -55,7 +55,7 @@ def shuffle_weight_permutation(cout: int, stride: int) -> jnp.ndarray:
 
 def _pick_tile_h(h: int, w: int, cin: int, cout: int) -> int:
     """Largest TH dividing h with all tiles comfortably inside VMEM."""
-    budget = 9 * 1024 * 1024
+    budget = 12 * 1024 * 1024
     best = 1
     for th in range(1, h + 1):
         if h % th:
