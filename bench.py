@@ -27,7 +27,7 @@ def main():
     from repnerv_tpu.models.generator import generator_to_deploy, init_generator
     from repnerv_tpu.train.loop import make_video_decode_fn
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", 128))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 256))
     batch = int(os.environ.get("BENCH_BATCH", 32))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
 
