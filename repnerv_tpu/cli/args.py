@@ -78,9 +78,16 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--eval_fps", action="store_true", default=False)
     p.add_argument("--prune_steps", type=float, nargs="+", default=[0.0])
     p.add_argument("--prune_ratio", type=float, default=1.0)
+    p.add_argument("--dump_gt", action="store_true", default=False,
+                   help="also dump gt_{n}.png (commented out in the reference)")
     if eval_mode:
         p.add_argument("--finetune", action="store_true", default=False)
         p.add_argument("--finetune_epochs", type=int, default=100)
+        p.add_argument(
+            "--finetune_lr_mode", default="fresh", choices=["fresh", "reference"],
+            help="'reference' continues the stale cosine past its end "
+            "(lr~0, main_eval.py:447,472) for exact A/B parity",
+        )
 
     # distributed (TPU mesh replaces torch.distributed)
     p.add_argument("--manualSeed", type=int, default=1)
@@ -98,6 +105,10 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--suffix", default="")
 
     # TPU-only knobs
+    p.add_argument(
+        "--lr_frac_mode", default="batch", choices=["batch", "sample"],
+        help="'sample' reproduces the reference adjust_lr denominator at b>1",
+    )
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16", "mixed"])
     p.add_argument("--no_online_fuse", action="store_true")
     p.add_argument("--no_pallas_decode", action="store_true")
@@ -166,7 +177,10 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         quant_axis=a.quant_axis,
         finetune=getattr(a, "finetune", False),
         finetune_epochs=getattr(a, "finetune_epochs", 100),
+        finetune_lr_mode=getattr(a, "finetune_lr_mode", "fresh"),
+        lr_frac_mode=a.lr_frac_mode,
         dump_images=a.dump_images,
+        dump_gt=a.dump_gt,
         mesh_shape=tuple(a.mesh_shape),
         mesh_axes=tuple(a.mesh_axes),
         profile=a.profile,

@@ -35,7 +35,8 @@ def run_eval(cfg: TrainConfig) -> dict:
     enable_compilation_cache()
     outf = os.path.join(cfg.outf, cfg.suffix) if cfg.suffix else cfg.outf
     store = make_frame_store(cfg.data, split="train")
-    val_store = make_frame_store(cfg.data, split="val")
+    # share the decoded pixels between train (finetune) and val sampling
+    val_store = dataclasses.replace(store, frame_gap=cfg.data.test_gap)
 
     reparam = cfg.model.branch_type != "NeRV_vanilla"
     # checkpoint selection (main_eval.py:214-237, 551-611)
@@ -56,6 +57,7 @@ def run_eval(cfg: TrainConfig) -> dict:
         work_cfg,
         store,
         max_steps_per_epoch=10 if cfg.debug else None,
+        start_epoch=int(extra.get("epoch", cfg.epochs)),
     )
     final_cfg = dataclasses.replace(
         cfg.model, deploy=reparam or load_cfg.deploy
@@ -65,7 +67,7 @@ def run_eval(cfg: TrainConfig) -> dict:
 
     # quality + fps measurement (main_eval.py:738-827)
     eval_cfg = dataclasses.replace(cfg, model=final_cfg)
-    eval_step = make_eval_step(eval_cfg, with_msssim=val_store.hw[0] >= 176)
+    eval_step = make_eval_step(eval_cfg, with_msssim=min(val_store.hw) > 160)
     val_psnr, val_msssim = evaluate(
         params, eval_step, val_store, eval_cfg, max_steps=10 if cfg.debug else None
     )
@@ -94,16 +96,41 @@ def run_eval(cfg: TrainConfig) -> dict:
         times.append(time.perf_counter() - t0)
     fps = n_batches * bsz / min(times)
 
+    # single-frame micro-bench (reference main_eval.py:767-784: 5 warmup +
+    # 50 timed single-frame forwards).  The per-dispatch host RTT dominates
+    # on tunneled backends, so this is a latency surface — the whole-video
+    # number above is the throughput surface.
+    t_one = t_mat.reshape(-1)[:1]
+    for _ in range(5):
+        float(decode(params, t_one)[1])
+    micro_t0 = time.perf_counter()
+    micro_reps = 50
+    for _ in range(micro_reps):
+        float(decode(params, t_one)[1])
+    micro_fps = micro_reps / (time.perf_counter() - micro_t0)
+    print(f"[first val frame] FPS: {micro_fps:.2f}")
+
     if cfg.dump_images:
         from PIL import Image
 
         vis = os.path.join(outf, "visualize")
         os.makedirs(vis, exist_ok=True)
+        print(f"Saving predictions to {vis}")
+        # every val frame, batched decode, global indices pred_{i*B+b}.png
+        # (reference main_eval.py:794-804; gt variant behind --dump_gt)
         rows = val_store.sample_indices()
-        for n in range(min(len(rows), 16)):
-            out, _ = decode(params, jnp.asarray([val_store.t[rows[n]]] * bsz))
-            img = np.clip(np.asarray(out[0]) * 255, 0, 255).astype(np.uint8)
-            Image.fromarray(img).save(os.path.join(vis, f"pred_{n}.png"))
+        for i0 in range(0, len(rows), bsz):
+            chunk = rows[i0 : i0 + bsz]
+            out, _ = decode(
+                params,
+                jnp.asarray(np.pad(val_store.t[chunk], (0, bsz - len(chunk)), mode="edge")),
+            )
+            arr = np.clip(np.asarray(out[: len(chunk)]) * 255, 0, 255).astype(np.uint8)
+            for b in range(len(chunk)):
+                Image.fromarray(arr[b]).save(os.path.join(vis, f"pred_{i0 + b}.png"))
+                if cfg.dump_gt:
+                    gt = np.asarray(val_store.frames[chunk[b]]).astype(np.uint8)
+                    Image.fromarray(gt).save(os.path.join(vis, f"gt_{i0 + b}.png"))
 
     # MACs/FLOPs (thop replacement; reference main_eval.py:787-790)
     from ..utils.costs import generator_macs
@@ -118,6 +145,7 @@ def run_eval(cfg: TrainConfig) -> dict:
         "val_psnr": [float(x) for x in val_psnr],
         "val_msssim": [float(x) for x in val_msssim],
         "fps": fps,
+        "micro_fps": micro_fps,
         "prune_ratio": report.prune_ratio_actual,
         "quant_bit": report.quant_bit,
         "avg_bits": report.avg_bits,

@@ -58,12 +58,17 @@ def run_training(cfg: TrainConfig) -> dict:
         f.write(cfg.to_json())
 
     store = make_frame_store(cfg.data, split="train")
-    val_store = make_frame_store(cfg.data, split="val")
+    # train and val share the decoded pixels (only the sampling gap differs) —
+    # one HBM-resident copy of the video, not two (ADVICE.md round 1)
+    import dataclasses as _dc
+
+    val_store = _dc.replace(store, frame_gap=cfg.data.test_gap)
     steps_per_epoch = max(store.num_samples // cfg.data.batch_size, 1)
 
     key = jax.random.PRNGKey(cfg.manual_seed)
     state = init_train_state(key, cfg)
     start_epoch = 0
+    state_loaded = False
 
     # pretrained init (--weight; parsed-but-dead in the reference,
     # main_train.py:104) and genuine resume from the Orbax latest state
@@ -71,6 +76,7 @@ def run_training(cfg: TrainConfig) -> dict:
     if cfg.weight not in ("None", "", None):
         loaded, _ = ckpt.load_pth(cfg.weight, cfg.model)
         state = state._replace(params=loaded)
+        state_loaded = True
         print(f"initialized weights from {cfg.weight}")
     orbax_dir = os.path.join(outf, "orbax_latest")
     if os.path.isdir(orbax_dir) and not cfg.overwrite:
@@ -88,6 +94,7 @@ def run_training(cfg: TrainConfig) -> dict:
                 jnp.asarray(restored["step"], jnp.int32),
             )
             start_epoch = int(restored["epoch"])
+            state_loaded = True
             print(f"resumed from epoch {start_epoch}")
         except Exception as e:  # fresh run if the checkpoint is incompatible
             print(f"resume skipped: {e}")
@@ -111,16 +118,25 @@ def run_training(cfg: TrainConfig) -> dict:
         maybe_initialize_distributed()
     use_mesh = bool(cfg.mesh_shape) and len(jax.devices()) > 1
     fused = cfg.fused_epoch and not use_mesh and not cfg.profile
-    with_msssim = store.hw[0] >= 176
+    # one rule everywhere: MS-SSIM is computable iff min side > 160
+    # (ops/metrics.py gate; cf. ADVICE.md round 1 on the 176-vs-160 mismatch)
+    with_msssim = min(store.hw) > 160
     if use_mesh:
         from ..parallel.sharding import (
             make_mesh,
             make_sharded_train_state,
             make_sharded_train_step,
+            shard_train_state,
         )
 
         mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-        state = make_sharded_train_state(key, cfg, mesh)
+        if state_loaded:
+            # resumed / pretrained state: lay the EXISTING values out over
+            # the mesh (re-initializing here would discard them while
+            # keeping start_epoch — round-1 ADVICE.md medium finding)
+            state = shard_train_state(state, mesh)
+        else:
+            state = make_sharded_train_state(key, cfg, mesh)
         train_step = make_sharded_train_step(cfg, steps_per_epoch, mesh)
     elif fused:
         # whole-epoch scan: one dispatch per epoch over the HBM-resident video

@@ -80,26 +80,36 @@ def finetune(
     store: FrameStore,
     report: CompressionReport,
     max_steps_per_epoch: Optional[int] = None,
+    start_epoch: int = 0,
 ) -> Params:
     """Masked fine-tuning with a fresh Adam (main_eval.py:405-417,450-531).
 
-    The LR schedule runs a fresh warmup+decay over ``finetune_epochs``.
-    Deliberate deviation: the reference reuses the 300-epoch schedule with
-    ``cur_epoch`` already past the cosine's end (main_eval.py:474 passes
-    ``epoch % total_epochs`` with start_epoch≈300), which evaluates the
-    cosine beyond pi and yields lr_mult ≈ 0 — its finetune barely updates.
-    A fresh schedule makes finetuning actually recover pruned quality.
+    LR schedule — ``cfg.finetune_lr_mode``:
+
+    * ``"fresh"`` (default): a new warmup+decay over ``finetune_epochs`` —
+      finetuning actually recovers pruned quality (deliberate deviation).
+    * ``"reference"``: continue the ORIGINAL schedule from ``start_epoch``
+      (the loaded checkpoint's epoch).  The reference passes the stale
+      epoch into adjust_lr (main_eval.py:447,472), so with start_epoch ≈
+      args.epochs the cosine is evaluated past pi and lr_mult stays ≈ 0 —
+      the reference's finetune barely updates.  Kept behind this flag for
+      exact A/B parity runs.
     """
     import dataclasses as dc
 
-    ft_cfg = dc.replace(cfg, epochs=cfg.finetune_epochs)
     steps_per_epoch = max(store.num_samples // cfg.data.batch_size, 1)
+    if cfg.finetune_lr_mode == "reference":
+        ft_cfg = cfg  # original epochs/warmup; step counter carries the offset
+        step0 = start_epoch * steps_per_epoch
+    else:
+        ft_cfg = dc.replace(cfg, epochs=cfg.finetune_epochs)
+        step0 = 0
     train_step = make_train_step(ft_cfg, steps_per_epoch, with_msssim=False)
     tx = make_optimizer(cfg)
     # copy: the jitted step donates the state's buffers, and the caller's
     # params must survive the fine-tune (they are not ours to delete)
     params = jax.tree.map(jnp.copy, params)
-    state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+    state = TrainState(params, tx.init(params), jnp.asarray(step0, jnp.int32))
     for epoch in range(cfg.finetune_epochs):
         state, _ = run_epoch(
             state, train_step, store, ft_cfg, epoch, masks=masks,
@@ -144,18 +154,22 @@ def compress(
     *,
     deploy_after: bool = True,
     max_steps_per_epoch: Optional[int] = None,
+    start_epoch: int = 0,
 ) -> Tuple[Params, CompressionReport]:
     """Full PATH A/B pipeline over in-memory params.
 
     The caller picks which checkpoint to load (train vs deploy state), as
     main_eval.py does; this function then matches the corresponding path.
+    ``start_epoch`` (the loaded checkpoint's epoch) only matters for
+    ``finetune_lr_mode="reference"``.
     """
     report = CompressionReport()
     params, masks = prune_params(params, cfg, report)
     if cfg.finetune and cfg.prune_ratio < 1.0:
         assert store is not None, "finetune requires a frame store"
         params = finetune(
-            params, masks, cfg, store, report, max_steps_per_epoch
+            params, masks, cfg, store, report, max_steps_per_epoch,
+            start_epoch=start_epoch,
         )
     if deploy_after and cfg.model.branch_type != "NeRV_vanilla" and not cfg.model.deploy:
         params, _ = generator_to_deploy(params, cfg.model)

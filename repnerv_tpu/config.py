@@ -128,6 +128,18 @@ class TrainConfig:
     finetune_epochs: int = 100
     dump_images: bool = False
 
+    # parity dials (documented deviations from the reference, each with a
+    # flag to reproduce the reference behavior exactly for A/B runs)
+    lr_frac_mode: str = "batch"  # "batch": continuous intra-epoch LR fraction;
+    # "sample": reference adjust_lr denominator (utils.py:241) — at b>1 the
+    # intra-epoch fraction only reaches 1/b (see train/schedule.py docstring)
+    finetune_lr_mode: str = "fresh"  # "fresh": new warmup+decay over
+    # finetune_epochs (actually recovers quality); "reference": continue the
+    # original cosine past its end (main_eval.py:447,472 — lr stays ~0, the
+    # reference's finetune barely updates)
+    dump_gt: bool = False  # also dump gt_{n}.png next to pred_{n}.png
+    # (commented-out in the reference, main_eval.py:804)
+
     # TPU-specific
     profile: bool = False  # capture a JAX profiler trace of the first epoch
     fused_epoch: bool = True  # scan the whole epoch in one device dispatch

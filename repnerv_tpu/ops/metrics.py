@@ -34,10 +34,18 @@ def psnr_fn(output_list: Sequence[jnp.ndarray], target_list: Sequence[jnp.ndarra
 
 
 def msssim_fn(output_list: Sequence[jnp.ndarray], target_list: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Per-stage MS-SSIM (H >= 160 only, else 0) -> [B, n_stage]."""
+    """Per-stage MS-SSIM -> [B, n_stage]; 0 where the stage is too small.
+
+    Gate: ``min(H, W) > 160`` — the hard constraint of 5-level MS-SSIM with
+    an 11-tap window (smaller side must exceed (11-1)*2^4).  The reference
+    gates on ``H >= 160`` (utils.py:204) but pytorch_msssim asserts
+    ``smaller > 160``, so an H=160 video CRASHES the reference; we compute
+    whenever it is legal and log 0 otherwise (one consistent rule, cf.
+    ADVICE.md round 1).
+    """
     vals = []
     for out, tgt in zip(output_list, target_list):
-        if out.shape[1] >= 160:  # NHWC height; static shape so python branch is jit-safe
+        if min(out.shape[1], out.shape[2]) > 160:  # static shapes: jit-safe python branch
             vals.append(
                 ms_ssim(
                     out.astype(jnp.float32),

@@ -129,8 +129,37 @@ def shard_params(params: Params, mesh: Mesh, tensor_parallel: bool = True) -> Pa
     )
 
 
+def process_local_slice(global_n: int) -> slice:
+    """This process's contiguous slice of a leading global batch dim.
+
+    The global batch shards over the "data" mesh axis; with the mesh built
+    over ``jax.devices()`` (process-major device order), process ``p`` owns
+    rows ``[p*n/P, (p+1)*n/P)``.  Every process draws the same deterministic
+    permutation and keeps only this slice — the multi-host replacement for
+    the reference's DistributedSampler wiring (main_train.py:206,212, which
+    was dead code: the process group was never initialized).
+    """
+    p, n_proc = jax.process_index(), jax.process_count()
+    per = global_n // n_proc
+    return slice(p * per, (p + 1) * per)
+
+
 def shard_batch(frames, t, mesh: Mesh):
+    """Lay the batch out over the "data" axis.
+
+    Single-process: a plain device_put with the NamedSharding.  Multi-process:
+    ``frames``/``t`` are this process's LOCAL rows (see
+    :func:`process_local_slice`), assembled into a global jax.Array via
+    ``jax.make_array_from_process_local_data`` — device_put of host-local
+    arrays cannot build a global array across hosts.
+    """
     s = NamedSharding(mesh, batch_spec(mesh))
+    if jax.process_count() > 1:
+        frames = jax.make_array_from_process_local_data(s, np.asarray(frames))
+        t = jax.make_array_from_process_local_data(
+            s, np.asarray(t, dtype=np.float32)
+        )
+        return frames, t
     return jax.device_put(frames, s), jax.device_put(jnp.asarray(t), s)
 
 
@@ -141,6 +170,24 @@ def replicate(tree, mesh: Mesh):
         tree,
         is_leaf=lambda x: x is None,
     )
+
+
+def shard_train_state(state, mesh: Mesh, tensor_parallel=True):
+    """Lay out an EXISTING TrainState over ``mesh``, preserving its values.
+
+    Used when training resumed from a checkpoint or started from ``--weight``
+    (re-initializing here would silently discard the restored params while
+    keeping the restored epoch counter — the round-1 ADVICE.md medium).
+    Params shard per :func:`params_specs`; optimizer moments replicate (the
+    model is MBs — GSPMD re-lays them out against the param shardings on the
+    first jitted step).
+    """
+    from ..train.loop import TrainState
+
+    params = shard_params(state.params, mesh, tensor_parallel)
+    opt_state = replicate(state.opt_state, mesh)
+    step = replicate(jnp.asarray(state.step, jnp.int32), mesh)
+    return TrainState(params, opt_state, step)
 
 
 def make_sharded_train_state(key, cfg: TrainConfig, mesh: Mesh, tensor_parallel=True):

@@ -77,6 +77,12 @@ def build_train_step_fn(
     mcfg = cfg.model
     tx = make_optimizer(cfg)
     warmup_epochs = cfg.warmup_epochs()
+    # "sample" reproduces the reference's adjust_lr denominator at b>1
+    samples_per_epoch = (
+        steps_per_epoch * cfg.data.batch_size
+        if cfg.lr_frac_mode == "sample"
+        else None
+    )
 
     def loss_and_outputs(params, frames, t):
         embed = positional_encoding(t, mcfg.embed)
@@ -94,6 +100,7 @@ def build_train_step_fn(
             warmup_epochs=warmup_epochs,
             lr_type=cfg.lr_type,
             lr_steps=cfg.lr_steps,
+            samples_per_epoch=samples_per_epoch,
         )
         (loss, (outs, targets)), grads = jax.value_and_grad(
             loss_and_outputs, has_aux=True
@@ -105,13 +112,18 @@ def build_train_step_fn(
         )
         new_params = _apply_mask(new_params, masks)
 
+        # metrics reduce to per-stage rows [n_stage] INSIDE the jitted step:
+        # full reductions are replicated under GSPMD, so every process of a
+        # multi-host run can fetch them (per-sample [B, n_stage] rows would
+        # be sharded over "data" and unfetchable off-process); values are
+        # identical (psnr_fn broadcasts the batch-mean row, utils.py:191-199)
         aux = {
             "loss": loss,
             "lr": lr,
-            "psnr": psnr_fn(outs, targets),
+            "psnr": jnp.mean(psnr_fn(outs, targets), axis=0),
         }
         if with_msssim:
-            aux["msssim"] = msssim_fn(outs, targets)
+            aux["msssim"] = jnp.mean(msssim_fn(outs, targets), axis=0)
         return TrainState(new_params, opt_state, state.step + 1), aux
 
     return step_fn
@@ -177,9 +189,9 @@ def run_fused_epoch(
     if not isinstance(video, jnp.ndarray):
         video = jnp.asarray(video)
     state, aux = epoch_fn(state, video, perm, t_all, masks)
-    psnr = np.asarray(aux["psnr"]).reshape(n_steps * b, -1).mean(0)
+    psnr = np.asarray(aux["psnr"]).reshape(n_steps, -1).mean(0)
     msssim = (
-        np.asarray(aux["msssim"]).reshape(n_steps * b, -1).mean(0)
+        np.asarray(aux["msssim"]).reshape(n_steps, -1).mean(0)
         if "msssim" in aux
         else np.zeros_like(psnr)
     )
@@ -266,11 +278,20 @@ def run_epoch(
     ):
         if max_steps is not None and i >= max_steps:
             break
+        if jax.process_count() > 1:
+            # every process draws the SAME deterministic global permutation
+            # (seeded above); each gathers only its slice of the global
+            # batch — the sharded step assembles the global array from the
+            # per-process shards (parallel/sharding.py shard_batch)
+            from ..parallel.sharding import process_local_slice
+
+            sl = process_local_slice(len(rows))
+            rows, t = rows[sl], t[sl]
         frames = store.gather(rows)
         state, aux = train_step(state, frames, jnp.asarray(t), masks)
-        psnrs.append(np.asarray(aux["psnr"]))
+        psnrs.append(np.atleast_2d(np.asarray(aux["psnr"])))
         if "msssim" in aux:
-            msssims.append(np.asarray(aux["msssim"]))
+            msssims.append(np.atleast_2d(np.asarray(aux["msssim"])))
         losses.append(float(aux["loss"]))
         lr = float(aux["lr"])
     psnr = np.concatenate(psnrs, 0).mean(0) if psnrs else np.zeros(1)

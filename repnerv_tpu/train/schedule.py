@@ -57,9 +57,25 @@ def lr_at_step(
     warmup_epochs: float,
     lr_type: str = "cosine",
     lr_steps: Sequence[float] = (),
+    samples_per_epoch: int | None = None,
 ) -> jnp.ndarray:
-    """LR as a function of the global step (step = epoch*steps_per_epoch+i)."""
-    frac_epoch = jnp.asarray(step, jnp.float32) / float(steps_per_epoch)
+    """LR as a function of the global step (step = epoch*steps_per_epoch+i).
+
+    Default (``samples_per_epoch=None``): the intra-epoch fraction advances by
+    1/steps_per_epoch per BATCH, so the schedule is continuous in wall-time at
+    any batch size.  The reference instead advances by 1/len(dataset) per
+    batch (``adjust_lr(…, cur_iter, data_size)``, utils.py:241 with
+    ``data_size = len(train_dataset)``) — identical at b=1, but at b>1 its
+    intra-epoch fraction only reaches 1/b before jumping at the epoch
+    boundary.  Pass ``samples_per_epoch`` (= dataset length) to reproduce
+    that reference behavior exactly for A/B parity runs.
+    """
+    step = jnp.asarray(step, jnp.float32)
+    if samples_per_epoch is None:
+        frac_epoch = step / float(steps_per_epoch)
+    else:
+        ep = jnp.floor(step / float(steps_per_epoch))
+        frac_epoch = ep + (step - ep * steps_per_epoch) / float(samples_per_epoch)
     return base_lr * lr_multiplier(
         frac_epoch,
         epochs=epochs,

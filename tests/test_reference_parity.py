@@ -451,6 +451,38 @@ def test_adjust_lr_parity(ref, lr_type):
             assert ours == pytest.approx(theirs, abs=args.lr * 1e-5), (epoch, it)
 
 
+def test_adjust_lr_parity_batched_sample_mode(ref):
+    """At b>1 the reference advances the intra-epoch LR fraction by
+    1/len(dataset) per BATCH (utils.py:241); lr_frac_mode='sample'
+    (samples_per_epoch) reproduces that exactly."""
+    import torch
+
+    from repnerv_tpu.train.schedule import lr_at_step
+
+    n_samples, b = 24, 4
+    steps_per_epoch = n_samples // b
+    epochs, warmup = 12, 2
+    args = SimpleNamespace(lr_type="cosine", epochs=epochs, warmup=warmup, lr=1e-3)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=args.lr)
+
+    for epoch in [0, 1, 5, 11]:
+        for it in range(steps_per_epoch):
+            theirs = ref.utils.adjust_lr(opt, epoch, it, n_samples, args)
+            ours = float(
+                lr_at_step(
+                    epoch * steps_per_epoch + it,
+                    base_lr=args.lr,
+                    steps_per_epoch=steps_per_epoch,
+                    epochs=epochs,
+                    warmup_epochs=warmup,
+                    lr_type="cosine",
+                    samples_per_epoch=n_samples,
+                )
+            )
+            assert ours == pytest.approx(theirs, abs=args.lr * 1e-5), (epoch, it)
+
+
 # ---------------------------------------------------------------------------
 # our jnp SSIM / MS-SSIM vs the vendored pytorch_msssim algorithm
 # ---------------------------------------------------------------------------

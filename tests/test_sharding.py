@@ -109,3 +109,29 @@ def test_sharded_decode():
     out = decode(params, jnp.linspace(0, 1, 16))
     assert out.shape == (16, 8, 8, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_shard_train_state_preserves_resumed_values():
+    """Resume + mesh: sharding an existing state must keep its values (the
+    round-1 ADVICE medium: re-initializing discarded the restored params)."""
+    from repnerv_tpu.parallel.sharding import shard_train_state
+
+    cfg = tiny_train()
+    state = init_train_state(jax.random.PRNGKey(3), cfg)
+    # simulate a resumed state: non-zero params drift + step counter
+    bumped = jax.tree.map(lambda x: x + 0.25, state.params)
+    state = state._replace(params=bumped, step=jnp.asarray(42, jnp.int32))
+
+    mesh = make_mesh((8,), ("data",))
+    sharded = shard_train_state(state, mesh)
+    assert int(sharded.step) == 42
+    for a, b in zip(jax.tree.leaves(sharded.params), jax.tree.leaves(bumped)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # and the sharded step still trains from those exact values
+    store = make_store(cfg)
+    rows, t = next(store.epoch_batches(8, shuffle=False, seed=0, drop_last=False))
+    step = make_sharded_train_step(cfg, steps_per_epoch=1, mesh=mesh)
+    new_state, aux = step(sharded, store.gather(rows), jnp.asarray(t))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(new_state.step) == 43
