@@ -57,9 +57,9 @@ class ModelConfig:
     online_fuse: bool = True  # run one fused conv per block instead of branch-sum
     use_pallas_decode: bool = True  # fused Pallas conv+PS+act(+head) decode kernel
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM in backward
-    pallas_x2: bool = False  # chain the last two stride-2 blocks in one kernel
-    # (exact but currently slower than the single-stage chain; see BENCHMARKS)
-    # (auto-gated: deploy graphs, norm=none, TPU backend, big stages only)
+    # (a two-stage "pallas_x2" kernel existed in round 1; it was measured
+    #  against the chip's empirical GEMM roofline and removed — the
+    #  single-stage kernel already runs at ~93% of peak, see BENCHMARKS.md)
 
     @property
     def embed_length(self) -> int:

@@ -119,38 +119,7 @@ def apply_generator(
                 and (not PALLAS_REQUIRE_TPU or jax.default_backend() == "tpu")
             )
             if use_pallas:
-                from ..pallas_kernels.decode import (
-                    fused_conv_ps_act,
-                    fused_conv_ps_act_x2,
-                )
-
-                # chain the LAST TWO stride-2 blocks + head into one kernel:
-                # the full-resolution intermediate never exists in HBM
-                last_params = params["blocks"][-1]
-                if (
-                    cfg.pallas_x2
-                    and cfg.num_blocks == 1
-                    and block_idx == len(params["blocks"]) - 2
-                    and head is None
-                    and params["heads"][-1] is not None
-                    and tuple(cfg.strides[-2:]) == (2, 2)
-                    and "rbr_reparam" in last_params
-                ):
-                    fhead = params["heads"][-1]
-                    img = fused_conv_ps_act_x2(
-                        x,
-                        bparams["rbr_reparam"]["w"],
-                        bparams["rbr_reparam"].get("b"),
-                        last_params["rbr_reparam"]["w"],
-                        last_params["rbr_reparam"].get("b"),
-                        cfg.act,
-                        head_w=fhead["w"],
-                        head_b=fhead.get("b"),
-                        out_squash="sigmoid" if cfg.sigmoid else "tanh",
-                        compute_dtype=dtype,
-                    )
-                    outputs.append(img.astype(jnp.float32))
-                    return outputs
+                from ..pallas_kernels.decode import fused_conv_ps_act
 
                 fuse_head = is_last_block and head is not None
                 x = fused_conv_ps_act(

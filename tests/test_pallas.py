@@ -89,66 +89,11 @@ def test_generator_pallas_path_interpret(monkeypatch):
     monkeypatch.setattr(gen, "PALLAS_MIN_PIXELS", 1)
     monkeypatch.setattr(gen, "PALLAS_REQUIRE_TPU", False)
 
-    # strides (5, 2): exercises the SINGLE-stage kernels (incl. fused head);
-    # the (…, 2, 2) tail would route through the two-stage kernel instead
+    # strides (5, 2): exercises the single-stage kernels incl. the fused head
     cfg = tiny_model(branch_type="ERB", fc_hw_dim="8_8_8", strides=(5, 2), lower_width=8)
     params = init_generator(jax.random.PRNGKey(3), cfg)
     dep, dep_cfg = generator_to_deploy(params, cfg)
     emb = positional_encoding(jnp.asarray([0.2, 0.7]), cfg.embed)
-    ref = apply_generator(dep, emb, dep_cfg, train=False)[0]
-    pal_cfg = dataclasses.replace(dep_cfg, use_pallas_decode=True)
-    out = apply_generator(dep, emb, pal_cfg, train=False)[0]
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
-
-
-def test_two_stage_kernel_matches_composition():
-    from repnerv_tpu.pallas_kernels.decode import fused_conv_ps_act_x2
-
-    ks = jax.random.split(jax.random.PRNGKey(11), 6)
-    B, H, W, C1, C2, C3 = 2, 8, 12, 6, 5, 4
-    x = jax.random.normal(ks[0], (B, H, W, C1), jnp.float32)
-    w1 = jax.random.normal(ks[1], (3, 3, C1, 4 * C2)) * 0.1
-    b1 = jax.random.normal(ks[2], (4 * C2,)) * 0.1
-    w2 = jax.random.normal(ks[3], (3, 3, C2, 4 * C3)) * 0.1
-    b2 = jax.random.normal(ks[4], (4 * C3,)) * 0.1
-    hw = jax.random.normal(ks[5], (1, 1, C3, 3)) * 0.2
-    hb = jnp.asarray([0.1, -0.1, 0.2])
-    y = activation(pixel_shuffle(conv2d(x, w1, b1), 2), "swish")
-    ref = (jnp.tanh(conv2d(activation(pixel_shuffle(conv2d(y, w2, b2), 2), "swish"), hw, hb)) + 1) * 0.5
-    out = fused_conv_ps_act_x2(
-        x, w1, b1, w2, b2, "swish", head_w=hw, head_b=hb,
-        compute_dtype=jnp.float32, interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
-
-
-def test_generator_two_stage_pallas_wiring(monkeypatch):
-    """End-to-end: the x2 fast path must equal the XLA deploy graph."""
-    import dataclasses
-
-    import repnerv_tpu.models.generator as gen
-    import repnerv_tpu.pallas_kernels.decode as dec
-    from repnerv_tpu.models.embedding import positional_encoding
-    from repnerv_tpu.models.generator import (
-        apply_generator,
-        generator_to_deploy,
-        init_generator,
-    )
-    from test_model_train import tiny_model
-
-    for name in ("fused_conv_ps_act", "fused_conv_ps_act_x2"):
-        orig = getattr(dec, name)
-        monkeypatch.setattr(
-            dec, name,
-            (lambda o: lambda *a, **k: o(*a, **{**k, "interpret": True}))(orig),
-        )
-    monkeypatch.setattr(gen, "PALLAS_MIN_PIXELS", 1)
-    monkeypatch.setattr(gen, "PALLAS_REQUIRE_TPU", False)
-
-    cfg = tiny_model(branch_type="ERB", fc_hw_dim="4_6_8", strides=(2, 2, 2), lower_width=4, pallas_x2=True)
-    params = init_generator(jax.random.PRNGKey(5), cfg)
-    dep, dep_cfg = generator_to_deploy(params, cfg)
-    emb = positional_encoding(jnp.asarray([0.15, 0.65]), cfg.embed)
     ref = apply_generator(dep, emb, dep_cfg, train=False)[0]
     pal_cfg = dataclasses.replace(dep_cfg, use_pallas_decode=True)
     out = apply_generator(dep, emb, pal_cfg, train=False)[0]
