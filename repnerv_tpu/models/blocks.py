@@ -120,13 +120,19 @@ def apply_block(
     act: str = "swish",
     train: bool = True,
     online_fuse: bool = True,
+    mixed: bool = False,
 ) -> jnp.ndarray:
     """NHWC block forward.  ``online_fuse`` runs one conv with fused weights
     (the paper's online reparam, exact for every branch type); otherwise the
-    branch-sum graph executes (reference semantics for ACB/RepVGG/DBB/ECB)."""
+    branch-sum graph executes (reference semantics for ACB/RepVGG/DBB/ECB).
+
+    The conv deliberately stays on XLA's lowering in training: a round-2
+    custom_vjp Pallas conv (fwd/dgrad/wgrad im2col GEMMs, 115 vs 100 TF/s
+    isolated) measured 16% SLOWER end-to-end because it breaks XLA's
+    conv<->elementwise fusions — see BENCHMARKS.md "Training roofline"."""
     if "rbr_reparam" in params or online_fuse:
         k, b = reparam.fuse(branch_type, params)
-        out = conv2d(x, k, b)
+        out = conv2d(x, k, b, mixed=mixed)
     else:
         out = apply_branches_direct(params, x, branch_type)
     out = pixel_shuffle(out, stride)

@@ -11,8 +11,10 @@ depends on (reference utils.py:9,147-188):
   one-sided zero padding on odd dims and ``count_include_pad=True``.
 
 Everything is jit-safe, differentiable, and shaped statically.  The gaussian
-filter is a depthwise separable conv — two small convolutions that XLA fuses
-well; at 720p this is the dominant non-matmul cost of the Fusion6 loss.
+filter is the dominant non-matmul cost of the Fusion6 loss (~20% of the 720p
+train step on XLA's lowering); above ``PALLAS_MIN_PIXELS`` on TPU it runs
+through the fused Pallas blur kernel (pallas_kernels/ssim_blur.py) instead
+of the slice-sum fallback below.
 """
 
 from __future__ import annotations
@@ -24,7 +26,25 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..pallas_kernels import ssim_blur
+
 MS_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+# The Pallas blur kernel takes over on TPU above this pixel count: one VMEM
+# pass per row tile instead of XLA's ~11 HBM passes per filter direction —
+# measured ~20% of the whole Fusion6 train step at 720p (BENCHMARKS.md).
+PALLAS_MIN_PIXELS = 96 * 96
+PALLAS_REQUIRE_TPU = True  # tests flip ssim_blur.INTERPRET to run off-TPU
+
+
+def _use_pallas_blur(x: jnp.ndarray) -> bool:
+    if x.shape[1] * x.shape[2] < PALLAS_MIN_PIXELS:
+        return False
+    return (
+        ssim_blur.INTERPRET
+        or not PALLAS_REQUIRE_TPU
+        or jax.default_backend() == "tpu"
+    )
 
 
 def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
@@ -42,8 +62,10 @@ def _gaussian_filter(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     come out <= -C2, the structure term's denominator crosses zero, and the
     loss gradient develops ~1e5 singularities that permanently poison Adam's
     second moment.  (HIGHEST-precision grouped convs avoid that too but
-    lower ~6x slower on TPU; the slice-sum form is exact AND fast — XLA
-    fuses the 11 shifted adds into one pass.)
+    lower ~6x slower on TPU.)  XLA materializes the shifted adds as ~11 HBM
+    passes per direction, which is why the Pallas kernel takes over on TPU
+    at real frame sizes; this form remains the exact, portable fallback and
+    the parity reference the kernel is tested against.
     """
     size = win.shape[0]
     h = x.shape[1]
@@ -57,13 +79,56 @@ def _gaussian_filter(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _ssim_maps_pallas(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    win_t: Tuple[float, ...],
+    data_range: float,
+    k: Tuple[float, float],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel (ssim, cs) means via the fused Pallas blur.
+
+    NHWC's C == 3 is a hostile TPU lane dim, so images flatten to
+    [B*C, H, W] once (W rides the lanes) and every filter + elementwise map
+    + mean stays in that layout; only the final [B, C] reshape returns to
+    channel-separated form.  Both paths are exact f32
+    weighted adds in the same k-order; results agree to f32
+    summation-order level (the reductions run in different layouts).
+    """
+    k1, k2 = k
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    b, h, w, c = x.shape
+    x2 = x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+    y2 = y.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+
+    def blur(a):
+        return ssim_blur.gauss_blur_valid(a, win_t)
+
+    mu1, mu2 = blur(x2), blur(y2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(x2 * x2) - mu1_sq
+    sigma2_sq = blur(y2 * y2) - mu2_sq
+    sigma12 = blur(x2 * y2) - mu1_mu2
+
+    cs_map = (2.0 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    ssim_map = ((2.0 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    return (
+        jnp.mean(ssim_map, axis=(1, 2)).reshape(b, c),
+        jnp.mean(cs_map, axis=(1, 2)).reshape(b, c),
+    )
+
+
 def _ssim_maps(
     x: jnp.ndarray,
     y: jnp.ndarray,
     win: jnp.ndarray,
     data_range: float,
     k: Tuple[float, float],
+    win_t: Tuple[float, ...] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if win_t is not None and _use_pallas_blur(x):
+        return _ssim_maps_pallas(x, y, win_t, data_range, k)
     k1, k2 = k
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
@@ -94,7 +159,8 @@ def ssim(
 ) -> jnp.ndarray:
     """SSIM over NHWC images.  ``size_average`` mirrors pytorch_msssim."""
     win = _gaussian_window(win_size, win_sigma)
-    per_channel, _ = _ssim_maps(x, y, win, data_range, k)
+    win_t = ssim_blur.window_tuple(win_size, win_sigma)
+    per_channel, _ = _ssim_maps(x, y, win, data_range, k, win_t=win_t)
     per_image = jnp.mean(per_channel, axis=-1)
     return jnp.mean(per_image) if size_average else per_image
 
@@ -136,10 +202,11 @@ def ms_ssim(
             f"win_size={win_size}; need > {(win_size - 1) * 2 ** (levels - 1)}"
         )
     win = _gaussian_window(win_size, win_sigma)
+    win_t = ssim_blur.window_tuple(win_size, win_sigma)
     mcs = []
     ssim_pc = None
     for i in range(levels):
-        ssim_pc, cs_pc = _ssim_maps(x, y, win, data_range, k)
+        ssim_pc, cs_pc = _ssim_maps(x, y, win, data_range, k, win_t=win_t)
         if i < levels - 1:
             mcs.append(jax.nn.relu(cs_pc))
             x = _avg_pool_2x2_torch(x)

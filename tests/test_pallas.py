@@ -98,3 +98,83 @@ def test_generator_pallas_path_interpret(monkeypatch):
     pal_cfg = dataclasses.replace(dep_cfg, use_pallas_decode=True)
     out = apply_generator(dep, emb, pal_cfg, train=False)[0]
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas SSIM gaussian blur (pallas_kernels/ssim_blur.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gauss_blur_matches_slice_sum(monkeypatch):
+    import repnerv_tpu.pallas_kernels.ssim_blur as sb
+    from repnerv_tpu.ops.ssim import _gaussian_filter, _gaussian_window
+
+    monkeypatch.setattr(sb, "INTERPRET", True)
+    win_t = sb.window_tuple(11, 1.5)
+    win = _gaussian_window(11, 1.5)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 40, 50), jnp.float32)
+    out = sb.gauss_blur_valid(x, win_t)
+    # the slice-sum reference path works on NHWC; add/squeeze a channel dim
+    ref = _gaussian_filter(x[..., None], win)[..., 0]
+    assert out.shape == (3, 30, 40)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_gauss_blur_vjp_is_adjoint(monkeypatch):
+    """<blur(x), ct> == <x, blur_adj(ct)> and matches autodiff through the
+    slice-sum formulation."""
+    import repnerv_tpu.pallas_kernels.ssim_blur as sb
+    from repnerv_tpu.ops.ssim import _gaussian_filter, _gaussian_window
+
+    monkeypatch.setattr(sb, "INTERPRET", True)
+    win_t = sb.window_tuple(11, 1.5)
+    win = _gaussian_window(11, 1.5)
+    kx, kc = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (2, 24, 32), jnp.float32)
+    ct = jax.random.normal(kc, (2, 14, 22), jnp.float32)
+
+    (dx,) = jax.vjp(lambda a: sb.gauss_blur_valid(a, win_t), x)[1](ct)
+    (dref,) = jax.vjp(lambda a: _gaussian_filter(a[..., None], win)[..., 0], x)[1](ct)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dref), atol=1e-5)
+
+
+def test_gauss_blur_ragged_tail_tiles(monkeypatch):
+    """H_out not divisible by the tile height exercises the clipped last
+    block + in-bounds input padding."""
+    import repnerv_tpu.pallas_kernels.ssim_blur as sb
+    from repnerv_tpu.ops.ssim import _gaussian_filter, _gaussian_window
+
+    monkeypatch.setattr(sb, "INTERPRET", True)
+    monkeypatch.setattr(sb, "_MAX_TILE_ROWS", 16)  # force ragged: 157 = 9*16+13
+    win_t = sb.window_tuple(11, 1.5)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 167, 30), jnp.float32)
+    out = sb.gauss_blur_valid(x, win_t)
+    ref = _gaussian_filter(x[..., None], _gaussian_window(11, 1.5))[..., 0]
+    assert out.shape == (1, 157, 20)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ssim_pallas_path_matches_slice_sum(monkeypatch):
+    """Full SSIM + MS-SSIM + loss gradient through the Pallas blur path."""
+    import repnerv_tpu.ops.ssim as S
+    import repnerv_tpu.pallas_kernels.ssim_blur as sb
+
+    kx, ky = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.nn.sigmoid(jax.random.normal(kx, (1, 176, 192, 3), jnp.float32))
+    y = jax.nn.sigmoid(jax.random.normal(ky, (1, 176, 192, 3), jnp.float32))
+
+    ref_ssim = S.ssim(x, y)
+    ref_ms = S.ms_ssim(x, y)
+    ref_g = jax.grad(lambda a: 1.0 - S.ssim(a, y))(x)
+
+    monkeypatch.setattr(sb, "INTERPRET", True)
+    monkeypatch.setattr(S, "PALLAS_MIN_PIXELS", 1)
+    out_ssim = S.ssim(x, y)
+    out_ms = S.ms_ssim(x, y)
+    out_g = jax.grad(lambda a: 1.0 - S.ssim(a, y))(x)
+
+    # both paths are exact f32 weighted adds; the layouts reduce in a
+    # different order, so agreement is at f32 summation-order level
+    np.testing.assert_allclose(float(out_ssim), float(ref_ssim), atol=1e-5)
+    np.testing.assert_allclose(float(out_ms), float(ref_ms), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g), atol=1e-5)
