@@ -52,8 +52,9 @@ class ModelConfig:
 
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"  # "float32" | "bfloat16" | "mixed"
-    # ("mixed" = bf16 stages with the final block + RGB head in f32: ~bf16
-    #  speed with near-f32 convergence)
+    # ("mixed" = f32 activations/params with bf16 MXU inputs + f32
+    #  accumulation on every conv/matmul: bf16 matmul speed with near-f32
+    #  convergence — see models/layers.py mxu_conv2d_f32)
     online_fuse: bool = True  # run one fused conv per block instead of branch-sum
     use_pallas_decode: bool = True  # fused Pallas conv+PS+act(+head) decode kernel
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM in backward

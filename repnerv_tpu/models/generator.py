@@ -87,12 +87,18 @@ def apply_generator(
     *,
     train: bool = True,
 ) -> List[jnp.ndarray]:
-    """embed [B, embed_length] -> list of NHWC frames (one per active head)."""
-    lowp = cfg.compute_dtype in ("bfloat16", "mixed")
-    dtype = jnp.bfloat16 if lowp else jnp.float32
+    """embed [B, embed_length] -> list of NHWC frames (one per active head).
+
+    ``compute_dtype`` modes: ``float32`` | ``bfloat16`` (everything bf16) |
+    ``mixed`` — f32 activations and params with bf16 MXU inputs and f32
+    accumulation on every conv/matmul (layers.mxu_conv2d_f32): the matmul
+    speed of bf16 with near-f32 forward precision (the bf16 rounding happens
+    once per MXU input, never on partial sums or elementwise chains)."""
+    mixed = cfg.compute_dtype == "mixed"
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     h, w, c = cfg.fc_hwd
 
-    x = apply_mlp(params["stem"], embed, cfg.act, dtype=dtype)
+    x = apply_mlp(params["stem"], embed, cfg.act, dtype=dtype, mixed=mixed)
     # reference reshapes NCHW [B, c, h, w] (model.py:613); channel-last here.
     x = x.reshape(x.shape[0], c, h, w).transpose(0, 2, 3, 1)
 
@@ -104,11 +110,6 @@ def apply_generator(
             _, _, stride = plan[block_idx]
             bparams = params["blocks"][block_idx]
             is_last_block = block_idx == len(params["blocks"]) - 1
-            if cfg.compute_dtype == "mixed" and is_last_block:
-                # final block + head in f32: the output stage dominates
-                # quality sensitivity while costing a minor share of FLOPs
-                x = x.astype(jnp.float32)
-                dtype = jnp.float32
             use_pallas = (
                 cfg.use_pallas_decode
                 and not train
@@ -147,6 +148,7 @@ def apply_generator(
                 act=cfg.act,
                 train=train,
                 online_fuse=cfg.online_fuse,
+                mixed=mixed,
             )
             if cfg.remat and train:
                 # rematerialize block activations in the backward pass —

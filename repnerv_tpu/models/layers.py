@@ -135,6 +135,106 @@ def pixel_unshuffle(x: jnp.ndarray, stride: int) -> jnp.ndarray:
 DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
+def _conv_f32acc(lhs: jnp.ndarray, rhs: jnp.ndarray, dn, padding) -> jnp.ndarray:
+    """bf16 x bf16 conv accumulating to f32 (MXU-native: the systolic array
+    multiplies bf16 and accumulates f32; this just keeps the f32 result)."""
+    return lax.conv_general_dilated(
+        lhs.astype(jnp.bfloat16),
+        rhs.astype(jnp.bfloat16),
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _same_pad(w: jnp.ndarray):
+    kh, kw = w.shape[0], w.shape[1]
+    return ((kh // 2, kh // 2), (kw // 2, kw // 2))
+
+
+@jax.custom_vjp
+def mxu_conv2d_f32(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Mixed-precision conv: f32 in/out, bf16 on the MXU, f32 accumulation.
+
+    Stride-1 SAME conv with an odd HWIO kernel (the only geometry the
+    generator's blocks use).  A custom_vjp is required because XLA's conv
+    transpose rule cannot mix a f32 cotangent with bf16 weights; here all
+    three convs (fwd / dgrad / wgrad) run bf16 x bf16 -> f32.  Unlike a
+    Pallas kernel this stays inside XLA, so conv<->elementwise fusions
+    survive (see BENCHMARKS.md "Training roofline" for why that matters).
+    """
+    return _conv_f32acc(x, w, DIMSPEC, _same_pad(w))
+
+
+def _mxu_conv_fwd(x, w):
+    # residuals are the bf16 casts: the backward only ever feeds the MXU, so
+    # saving bf16 HALVES activation-residual HBM vs an f32 graph (a 720p
+    # b=8 fused-epoch step would otherwise exceed the 16 GB chip)
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    out = lax.conv_general_dilated(
+        xb, wb, (1, 1), _same_pad(w), dimension_numbers=DIMSPEC,
+        preferred_element_type=jnp.float32,
+    )
+    return out, (xb, wb)
+
+
+def _mxu_conv_bwd(res, ct):
+    xb, wb = res
+    # dgrad: correlate the cotangent with the spatially-flipped, IO-swapped
+    # kernel (exact transpose of a stride-1 SAME conv with an odd kernel)
+    w_flip = wb[::-1, ::-1].transpose(0, 1, 3, 2)
+    dx = _conv_f32acc(ct, w_flip, DIMSPEC, _same_pad(wb))
+    # wgrad as a conv: batch is the contraction, C_in rides the batch slot.
+    # lhs = x [N,H,W,I] read as (batch=I@3, feature=N@0, spatial=1,2);
+    # rhs = ct [N,H,W,O] read as (out=O@3, in=N@0, spatial=1,2);
+    # out spec places (batch=I, feature=O) after the spatial dims -> [kh,kw,I,O].
+    dn = lax.ConvDimensionNumbers(
+        lhs_spec=(3, 0, 1, 2), rhs_spec=(3, 0, 1, 2), out_spec=(2, 3, 0, 1)
+    )
+    dw = _conv_f32acc(xb, ct, dn, _same_pad(wb))
+    return dx, dw
+
+
+mxu_conv2d_f32.defvjp(_mxu_conv_fwd, _mxu_conv_bwd)
+
+
+@jax.custom_vjp
+def mxu_matmul_f32(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Mixed-precision matmul [B,K]x[K,N]: bf16 MXU inputs, f32 accumulation."""
+    return lax.dot_general(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mxu_mm_fwd(x, w):
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    out = lax.dot_general(
+        xb, wb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return out, (xb, wb)
+
+
+def _mxu_mm_bwd(res, ct):
+    xb, wb = res
+    ctb = ct.astype(jnp.bfloat16)
+    dx = lax.dot_general(
+        ctb, wb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw = lax.dot_general(
+        xb, ctb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dx, dw
+
+
+mxu_matmul_f32.defvjp(_mxu_mm_fwd, _mxu_mm_bwd)
+
+
 def conv2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -142,7 +242,19 @@ def conv2d(
     *,
     padding: str | Sequence = "SAME",
     feature_group_count: int = 1,
+    mixed: bool = False,
 ) -> jnp.ndarray:
+    if (
+        mixed
+        and padding == "SAME"
+        and feature_group_count == 1
+        and w.shape[0] % 2 == 1
+        and w.shape[1] % 2 == 1
+    ):
+        out = mxu_conv2d_f32(x, w)
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -203,14 +315,18 @@ def init_mlp(key, dim_list: Sequence[int], bias: bool = True) -> List[Params]:
 
 
 def apply_mlp(
-    params: Sequence[Params], x: jnp.ndarray, act_type: str, dtype=None
+    params: Sequence[Params], x: jnp.ndarray, act_type: str, dtype=None,
+    mixed: bool = False,
 ) -> jnp.ndarray:
     for layer in params:
         w = layer["w"]
-        if dtype is not None:
-            w = w.astype(dtype)
-            x = x.astype(dtype)
-        x = x @ w
+        if mixed:
+            x = mxu_matmul_f32(x, w)
+        else:
+            if dtype is not None:
+                w = w.astype(dtype)
+                x = x.astype(dtype)
+            x = x @ w
         if "b" in layer:
             x = x + layer["b"].astype(x.dtype)
         x = activation(x, act_type)

@@ -335,7 +335,8 @@ def test_fused_epoch_respects_max_steps():
 
 
 def test_mixed_precision_mode():
-    """'mixed' = bf16 stages, f32 final block + head; output finite f32."""
+    """'mixed' = f32 activations, bf16 MXU inputs + f32 accumulation on
+    every conv/matmul; output finite f32 (see test_mixed_precision.py)."""
     cfg = tiny_model(branch_type="ERB", compute_dtype="mixed")
     params = init_generator(jax.random.PRNGKey(0), cfg)
     emb = positional_encoding(jnp.asarray([0.2, 0.8]), cfg.embed)
