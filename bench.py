@@ -30,14 +30,24 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", 256))
     batch = int(os.environ.get("BENCH_BATCH", 32))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    use_int8 = os.environ.get("BENCH_INT8", "0") == "1"
 
     mcfg = ModelConfig(
         branch_type="ERB",
         compute_dtype="bfloat16",
         use_pallas_decode=use_pallas,
+        decode_int8=use_int8,
     )
     params = init_generator(jax.random.PRNGKey(0), mcfg)
     dep_params, dep_cfg = generator_to_deploy(params, mcfg)
+    if use_int8:
+        from repnerv_tpu.models.embedding import positional_encoding
+        from repnerv_tpu.models.generator import calibrate_int8
+
+        calib = positional_encoding(
+            jnp.linspace(0.0, 0.99, 8, dtype=jnp.float32), dep_cfg.embed
+        )
+        dep_params = calibrate_int8(dep_params, dep_cfg, calib)
     cfg = TrainConfig(model=dep_cfg)
 
     decode_all = make_video_decode_fn(cfg, keep_frames=False)

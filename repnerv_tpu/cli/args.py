@@ -112,6 +112,11 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16", "mixed"])
     p.add_argument("--no_online_fuse", action="store_true")
     p.add_argument("--no_pallas_decode", action="store_true")
+    p.add_argument(
+        "--decode_int8", action="store_true",
+        help="int8 MXU decode for the trailing blocks (2x bf16 MXU rate); "
+        "scales calibrated from the first val frames at eval time",
+    )
     p.add_argument("--remat", action="store_true", help="rematerialize block activations in backward")
     p.add_argument("--profile", action="store_true", help="capture a JAX profiler trace of epoch 1")
     return p
@@ -138,6 +143,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         compute_dtype=a.compute_dtype,
         online_fuse=not a.no_online_fuse,
         use_pallas_decode=not a.no_pallas_decode,
+        decode_int8=getattr(a, "decode_int8", False),
         remat=a.remat,
     )
     data = DataConfig(

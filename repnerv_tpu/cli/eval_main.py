@@ -65,6 +65,18 @@ def run_eval(cfg: TrainConfig) -> dict:
     if not reparam:
         final_cfg = load_cfg
 
+    if final_cfg.decode_int8 and (reparam or final_cfg.deploy):
+        # int8 decode scales from the first val frames (inference-only path;
+        # the PSNR/MS-SSIM measured below therefore reports int8 quality)
+        from ..models.generator import calibrate_int8
+
+        calib_rows = val_store.sample_indices()[:8]
+        calib_emb = positional_encoding(
+            jnp.asarray(val_store.t[calib_rows], jnp.float32), final_cfg.embed
+        )
+        params = calibrate_int8(params, final_cfg, calib_emb)
+        print(f"int8 decode calibrated over {len(calib_rows)} frames")
+
     # quality + fps measurement (main_eval.py:738-827)
     eval_cfg = dataclasses.replace(cfg, model=final_cfg)
     eval_step = make_eval_step(eval_cfg, with_msssim=min(val_store.hw) > 160)

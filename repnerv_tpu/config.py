@@ -57,6 +57,10 @@ class ModelConfig:
     #  convergence — see models/layers.py mxu_conv2d_f32)
     online_fuse: bool = True  # run one fused conv per block instead of branch-sum
     use_pallas_decode: bool = True  # fused Pallas conv+PS+act(+head) decode kernel
+    decode_int8: bool = False  # int8 MXU decode for the trailing blocks (2x bf16
+    # MXU rate on v5e); needs calibrate_int8() scales in the deploy params
+    int8_from_block: int = -2  # first int8 block, counted from the end (the
+    # tail blocks carry ~95% of decode FLOPs; early stages stay high-precision)
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM in backward
     # (a two-stage "pallas_x2" kernel existed in round 1; it was measured
     #  against the chip's empirical GEMM roofline and removed — the

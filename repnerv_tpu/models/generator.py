@@ -110,6 +110,38 @@ def apply_generator(
             _, _, stride = plan[block_idx]
             bparams = params["blocks"][block_idx]
             is_last_block = block_idx == len(params["blocks"]) - 1
+            use_int8 = (
+                cfg.decode_int8
+                and not train
+                and cfg.norm == "none"
+                and "rbr_reparam" in bparams
+                and str(block_idx) in params.get("int8", {})
+                and (not PALLAS_REQUIRE_TPU or jax.default_backend() == "tpu")
+            )
+            if use_int8:
+                from ..pallas_kernels import decode_int8 as d8
+
+                q = params["int8"][str(block_idx)]
+                if x.dtype != jnp.int8:
+                    x = d8.quantize_act_int8(x, q["in_scale"])
+                fuse_head = is_last_block and head is not None
+                x = d8.fused_conv_ps_act_int8(
+                    x,
+                    q["w_q"],
+                    q["scale"],
+                    q.get("b"),
+                    stride,
+                    cfg.act,
+                    out_scale=None if fuse_head else q["out_scale"],
+                    head_w=head["w"] if fuse_head else None,
+                    head_b=head.get("b") if fuse_head else None,
+                    out_squash="sigmoid" if cfg.sigmoid else "tanh",
+                )
+                if fuse_head:
+                    outputs.append(x.astype(jnp.float32))
+                    return outputs
+                block_idx += 1
+                continue
             use_pallas = (
                 cfg.use_pallas_decode
                 and not train
@@ -180,6 +212,73 @@ def generator_to_deploy(params: Params, cfg: ModelConfig) -> Tuple[Params, Model
     new_params = dict(params)
     new_params["blocks"] = new_blocks
     return new_params, dataclasses.replace(cfg, deploy=True)
+
+
+def calibrate_int8(
+    params: Params, cfg: ModelConfig, calib_embeds: jnp.ndarray
+) -> Params:
+    """Prepare int8 decode scales/weights for the trailing blocks.
+
+    Runs an f32 forward over ``calib_embeds`` (a representative batch of
+    frame embeddings), records the abs-max of each trailing block's input
+    activation, and attaches ``params["int8"][str(i)]`` entries holding the
+    per-output-channel int8 weights (symmetric, from the fused deploy
+    kernel), the combined dequant scale ``sx*sw``, the f32 bias, the input
+    scale, and the next stage's requant scale.  Inference-only: pairs with
+    ``cfg.decode_int8`` (see pallas_kernels/decode_int8.py for the scheme).
+
+    Requires deploy params and a single trailing head (the paper's
+    ``--single_res`` layout); returns params unchanged if the config has
+    intermediate heads.
+    """
+    from ..pallas_kernels import decode_int8 as d8
+
+    heads = head_plan(cfg)
+    if any(heads[:-1]) or not heads[-1]:
+        return params
+    n_blocks = len(params["blocks"])
+    first = n_blocks + cfg.int8_from_block
+    if not (0 <= first < n_blocks):
+        return params
+
+    # f32 forward, collecting each block's input activation
+    h, w, c = cfg.fc_hwd
+    x = apply_mlp(params["stem"], calib_embeds, cfg.act)
+    x = x.reshape(x.shape[0], c, h, w).transpose(0, 2, 3, 1)
+    plan = stage_channels(cfg)
+    amax: List[jnp.ndarray] = []
+    for i, bparams in enumerate(params["blocks"]):
+        if "rbr_reparam" not in bparams:
+            raise ValueError("calibrate_int8 needs deploy params (fused blocks)")
+        amax.append(jnp.max(jnp.abs(x)))
+        x = apply_block(
+            bparams,
+            x,
+            stride=plan[i][2],
+            branch_type=cfg.branch_type,
+            norm=cfg.norm,
+            act=cfg.act,
+            train=False,
+        )
+
+    table: Dict[str, Params] = {}
+    for i in range(first, n_blocks):
+        bp = params["blocks"][i]["rbr_reparam"]
+        w_q, sw = d8.quantize_weight_int8(bp["w"])
+        in_scale = jnp.maximum(amax[i], 1e-12) / 127.0
+        entry: Params = {
+            "w_q": w_q,
+            "scale": in_scale * sw,
+            "in_scale": in_scale,
+        }
+        if "b" in bp:
+            entry["b"] = bp["b"].astype(jnp.float32)
+        if i + 1 < n_blocks:
+            entry["out_scale"] = jnp.maximum(amax[i + 1], 1e-12) / 127.0
+        table[str(i)] = entry
+    out = dict(params)
+    out["int8"] = table
+    return out
 
 
 def param_count(params: Params) -> int:
