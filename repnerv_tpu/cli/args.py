@@ -113,6 +113,11 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--no_online_fuse", action="store_true")
     p.add_argument("--no_pallas_decode", action="store_true")
     p.add_argument(
+        "--codec", default="huffman", choices=["huffman", "rans"],
+        help="entropy coder for BPP accounting: huffman (reference parity) "
+        "or rans (fractional-bit, ~8%% smaller BPP)",
+    )
+    p.add_argument(
         "--decode_int8", action="store_true",
         help="int8 MXU decode for the trailing blocks (2x bf16 MXU rate); "
         "scales calibrated from the first val frames at eval time",
@@ -184,6 +189,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         finetune=getattr(a, "finetune", False),
         finetune_epochs=getattr(a, "finetune_epochs", 100),
         finetune_lr_mode=getattr(a, "finetune_lr_mode", "fresh"),
+        codec=getattr(a, "codec", "huffman"),
         lr_frac_mode=a.lr_frac_mode,
         dump_images=a.dump_images,
         dump_gt=a.dump_gt,

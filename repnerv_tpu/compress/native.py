@@ -124,3 +124,117 @@ def native_decode(
     if produced != n_symbols:
         return None
     return out
+
+
+# ---------------------------------------------------------------------------
+# rANS backend (native/rans.cpp) — same compile-on-first-use pattern
+# ---------------------------------------------------------------------------
+
+_RANS_LIB: Optional[ctypes.CDLL] = None
+_RANS_TRIED = False
+_RANS_SRC = os.path.join(_NATIVE_DIR, "rans.cpp")
+_RANS_SO = os.path.join(_NATIVE_DIR, "librans.so")
+
+
+def _load_rans() -> Optional[ctypes.CDLL]:
+    global _RANS_LIB, _RANS_TRIED
+    with _LOCK:
+        if _RANS_TRIED:
+            return _RANS_LIB
+        _RANS_TRIED = True
+        if os.environ.get("REPNERV_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.exists(_RANS_SO) or (
+                os.path.exists(_RANS_SRC)
+                and os.path.getmtime(_RANS_SRC) > os.path.getmtime(_RANS_SO)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _RANS_SO, _RANS_SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(_RANS_SO)
+            lib.rans_encode.restype = ctypes.c_longlong
+            lib.rans_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_longlong,
+            ]
+            lib.rans_decode.restype = ctypes.c_longlong
+            lib.rans_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_longlong,
+            ]
+            _RANS_LIB = lib
+        except Exception:
+            _RANS_LIB = None
+        return _RANS_LIB
+
+
+def rans_native_encode(
+    idx: np.ndarray, freq: np.ndarray, cum: np.ndarray, scale_bits: int
+) -> Optional[bytes]:
+    lib = _load_rans()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int32)
+    freq = np.ascontiguousarray(freq, np.uint32)
+    cum = np.ascontiguousarray(cum, np.uint32)
+    # worst case ~2 bytes/symbol at scale_bits<=14 plus the 4 state bytes
+    capacity = 2 * len(idx) + 64
+    out = np.empty(capacity, np.uint8)
+    nbytes = lib.rans_encode(
+        _ptr(idx, ctypes.c_int32),
+        len(idx),
+        _ptr(freq, ctypes.c_uint32),
+        _ptr(cum, ctypes.c_uint32),
+        scale_bits,
+        _ptr(out, ctypes.c_uint8),
+        capacity,
+    )
+    if nbytes < 0:
+        return None
+    return out[: int(nbytes)].tobytes()
+
+
+def rans_native_decode(
+    blob: np.ndarray,
+    freq: np.ndarray,
+    cum: np.ndarray,
+    slot2sym: np.ndarray,
+    scale_bits: int,
+    n_symbols: int,
+) -> Optional[np.ndarray]:
+    lib = _load_rans()
+    if lib is None:
+        return None
+    blob = np.ascontiguousarray(blob, np.uint8)
+    freq = np.ascontiguousarray(freq, np.uint32)
+    cum = np.ascontiguousarray(cum, np.uint32)
+    slot2sym = np.ascontiguousarray(slot2sym, np.int32)
+    out = np.empty(n_symbols, np.int32)
+    produced = lib.rans_decode(
+        _ptr(blob, ctypes.c_uint8),
+        len(blob),
+        _ptr(freq, ctypes.c_uint32),
+        _ptr(cum, ctypes.c_uint32),
+        _ptr(slot2sym, ctypes.c_int32),
+        scale_bits,
+        _ptr(out, ctypes.c_int32),
+        n_symbols,
+    )
+    if produced != n_symbols:
+        return None
+    return out

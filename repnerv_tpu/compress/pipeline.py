@@ -136,7 +136,12 @@ def quantize_params(
         all_codes.append(q[v != 0].ravel())
         new_leaves.append(jnp.asarray(dq))
     codes = np.concatenate(all_codes) if all_codes else np.zeros(0)
-    stats = entropy_stats(codes.tolist(), cfg.quant_bit)
+    if cfg.codec == "rans":
+        from .rans import entropy_stats_rans
+
+        stats = entropy_stats_rans(codes.tolist(), cfg.quant_bit)
+    else:
+        stats = entropy_stats(codes.tolist(), cfg.quant_bit)
     report.quant_bit = cfg.quant_bit
     report.avg_bits = stats["avg_bits"]
     report.efficiency = stats["efficiency"]

@@ -132,6 +132,9 @@ class TrainConfig:
     finetune: bool = False
     finetune_epochs: int = 100
     dump_images: bool = False
+    codec: str = "huffman"  # entropy coder for the BPP accounting/bitstream:
+    # "huffman" (reference dahuffman parity, main_eval.py:673-698) or "rans"
+    # (fractional-bit coding, ~8% smaller BPP — compress/rans.py)
 
     # parity dials (documented deviations from the reference, each with a
     # flag to reproduce the reference behavior exactly for A/B runs)

@@ -235,3 +235,20 @@ def test_finetune_keeps_masked_weights_zero():
         w[np.asarray(m) == 1],
         np.asarray(pruned["blocks"][0]["branch"]["w"])[np.asarray(m) == 1],
     )
+
+
+def test_pipeline_rans_codec_smaller_bpp():
+    """--codec rans: same pipeline, fractional-bit entropy coding -> BPP
+    strictly below Huffman's on the same quantized weights."""
+    import dataclasses
+
+    cfg = tiny_train(model=tiny_model(branch_type="ERB"))
+    cfg = dataclasses.replace(cfg, prune_ratio=0.2, quant_bit=8, finetune=False)
+    store = make_store(cfg)
+    params = init_generator(jax.random.PRNGKey(0), cfg.model)
+    _, rep_huff = compress(params, cfg, store)
+    _, rep_rans = compress(
+        params, dataclasses.replace(cfg, codec="rans"), store
+    )
+    assert 0 < rep_rans.bpp < rep_huff.bpp
+    assert rep_rans.efficiency < rep_huff.efficiency
