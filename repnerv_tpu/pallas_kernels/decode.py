@@ -53,17 +53,22 @@ def shuffle_weight_permutation(cout: int, stride: int) -> jnp.ndarray:
     return cc * s * s + ij
 
 
-def _pick_tile_h(h: int, w: int, cin: int, cout: int) -> int:
-    """Largest TH dividing h with all tiles comfortably inside VMEM."""
+def _pick_tile_h(h: int, w: int, cin: int, cout: int, el_bytes: int = 2) -> int:
+    """Largest TH dividing h with all tiles comfortably inside VMEM.
+
+    ``el_bytes`` is the compute dtype's size — an f32 graph doubles every
+    buffer vs bf16, and sizing with the wrong element width overflows the
+    16 MB scoped-VMEM limit at the 720p stage-4 shape (round-2 regression
+    caught by the eval CLI on f32 deploy graphs)."""
     budget = 12 * 1024 * 1024
     best = 1
     for th in range(1, h + 1):
         if h % th:
             continue
-        window = 2 * (th + 2) * (w + 2) * cin * 2  # double-buffered input
-        im2col = th * w * 9 * cin * 2
+        window = 2 * (th + 2) * (w + 2) * cin * el_bytes  # double-buffered in
+        im2col = th * w * 9 * cin * el_bytes
         acc = th * w * cout * 4
-        outb = 2 * th * w * cout * 2  # double-buffered output (bf16)
+        outb = 2 * th * w * cout * el_bytes  # double-buffered output
         if window + im2col + acc + outb <= budget:
             best = th
         else:
@@ -110,7 +115,7 @@ def fused_conv_ps_act(
         else jnp.zeros((c_final,), jnp.float32)
     )
 
-    TH = _pick_tile_h(H, W, Cin, Cout)
+    TH = _pick_tile_h(H, W, Cin, Cout, el_bytes=jnp.dtype(compute_dtype).itemsize)
     grid = (B, H // TH)
     out_cols = s * c_final if with_head else s * C
 

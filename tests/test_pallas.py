@@ -178,3 +178,21 @@ def test_ssim_pallas_path_matches_slice_sum(monkeypatch):
     np.testing.assert_allclose(float(out_ssim), float(ref_ssim), atol=1e-5)
     np.testing.assert_allclose(float(out_ms), float(ref_ms), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g), atol=1e-5)
+
+
+def test_tile_picker_respects_dtype_size():
+    """f32 graphs double every VMEM buffer; the tile picker must shrink TH
+    accordingly (720p stage-4 f32 overflowed scoped VMEM in round 2)."""
+    from repnerv_tpu.pallas_kernels.decode import _pick_tile_h
+
+    h, w, cin, cout = 90, 160, 96, 384
+    th_bf16 = _pick_tile_h(h, w, cin, cout, el_bytes=2)
+    th_f32 = _pick_tile_h(h, w, cin, cout, el_bytes=4)
+    assert h % th_bf16 == 0 and h % th_f32 == 0
+    assert th_f32 <= th_bf16
+    for th, el in ((th_bf16, 2), (th_f32, 4)):
+        window = 2 * (th + 2) * (w + 2) * cin * el
+        im2col = th * w * 9 * cin * el
+        acc = th * w * cout * 4
+        outb = 2 * th * w * cout * el
+        assert window + im2col + acc + outb <= 12 * 1024 * 1024
