@@ -115,7 +115,7 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument(
         "--codec", default="huffman", choices=["huffman", "rans"],
         help="entropy coder for BPP accounting: huffman (reference parity) "
-        "or rans (fractional-bit, ~8%% smaller BPP)",
+        "or rans (fractional-bit, ~0.3%% smaller BPP measured)",
     )
     p.add_argument(
         "--decode_int8", action="store_true",

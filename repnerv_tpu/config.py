@@ -134,7 +134,8 @@ class TrainConfig:
     dump_images: bool = False
     codec: str = "huffman"  # entropy coder for the BPP accounting/bitstream:
     # "huffman" (reference dahuffman parity, main_eval.py:673-698) or "rans"
-    # (fractional-bit coding, ~8% smaller BPP — compress/rans.py)
+    # (fractional-bit coding; measured ~0.3% smaller BPP on the smooth
+    # weight histograms — compress/rans.py)
 
     # parity dials (documented deviations from the reference, each with a
     # flag to reproduce the reference behavior exactly for A/B runs)
