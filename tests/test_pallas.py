@@ -196,3 +196,20 @@ def test_tile_picker_respects_dtype_size():
         acc = th * w * cout * 4
         outb = 2 * th * w * cout * el
         assert window + im2col + acc + outb <= 12 * 1024 * 1024
+
+
+def test_gauss_blur_single_tile_odd_rows(monkeypatch):
+    """h_out <= tile limit with h_out NOT a multiple of 8 takes the
+    single-tile path whose row start must be a literal 0 (Mosaic proves
+    element-start divisibility symbolically; hit at 1080p MS-SSIM level 4,
+    H=135 -> h_out=125)."""
+    import repnerv_tpu.pallas_kernels.ssim_blur as sb
+    from repnerv_tpu.ops.ssim import _gaussian_filter, _gaussian_window
+
+    monkeypatch.setattr(sb, "INTERPRET", True)
+    win_t = sb.window_tuple(11, 1.5)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 135, 240), jnp.float32)
+    out = sb.gauss_blur_valid(x, win_t)
+    ref = _gaussian_filter(x[..., None], _gaussian_window(11, 1.5))[..., 0]
+    assert out.shape == (2, 125, 230)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
