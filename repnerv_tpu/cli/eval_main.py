@@ -94,7 +94,11 @@ def run_eval(cfg: TrainConfig) -> dict:
     # dispatch (serving shape), repeated; scalar fetch forces completion
     from ..train.loop import make_video_decode_fn
 
-    bsz = max(cfg.data.batch_size, 8)
+    # decode batch: amortize dispatch, but cap activation HBM — stage
+    # buffers scale with bsz * H * W and a 1080p batch of 8 exhausted the
+    # chip during the whole-video scan (RESOURCE_EXHAUSTED, round 2)
+    px = val_store.hw[0] * val_store.hw[1]
+    bsz = min(max(cfg.data.batch_size, 8), max(8 * 921600 // px, 1))
     n_batches = max(val_store.num_samples // bsz, 1)
     t_mat = jnp.asarray(
         val_store.t[val_store.sample_indices()[: n_batches * bsz]], jnp.float32

@@ -241,25 +241,32 @@ def calibrate_int8(
     if not (0 <= first < n_blocks):
         return params
 
-    # f32 forward, collecting each block's input activation
+    # f32 forward, collecting each block's input activation.  Runs in
+    # 2-frame chunks: this path executes eagerly (per-op dispatch holds
+    # every intermediate alive), and a 1080p 8-frame sweep transiently
+    # needs ~13 GB of f32 stage buffers — more HBM than the chip has.
     h, w, c = cfg.fc_hwd
-    x = apply_mlp(params["stem"], calib_embeds, cfg.act)
-    x = x.reshape(x.shape[0], c, h, w).transpose(0, 2, 3, 1)
     plan = stage_channels(cfg)
-    amax: List[jnp.ndarray] = []
-    for i, bparams in enumerate(params["blocks"]):
+    n_blocks_ = len(params["blocks"])
+    for bparams in params["blocks"]:
         if "rbr_reparam" not in bparams:
             raise ValueError("calibrate_int8 needs deploy params (fused blocks)")
-        amax.append(jnp.max(jnp.abs(x)))
-        x = apply_block(
-            bparams,
-            x,
-            stride=plan[i][2],
-            branch_type=cfg.branch_type,
-            norm=cfg.norm,
-            act=cfg.act,
-            train=False,
-        )
+    amax: List[jnp.ndarray] = [jnp.float32(0.0)] * n_blocks_
+    for lo in range(0, calib_embeds.shape[0], 2):
+        x = apply_mlp(params["stem"], calib_embeds[lo : lo + 2], cfg.act)
+        x = x.reshape(x.shape[0], c, h, w).transpose(0, 2, 3, 1)
+        for i, bparams in enumerate(params["blocks"]):
+            amax[i] = jnp.maximum(amax[i], jnp.max(jnp.abs(x)))
+            x = apply_block(
+                bparams,
+                x,
+                stride=plan[i][2],
+                branch_type=cfg.branch_type,
+                norm=cfg.norm,
+                act=cfg.act,
+                train=False,
+            )
+        del x
 
     table: Dict[str, Params] = {}
     for i in range(first, n_blocks):
