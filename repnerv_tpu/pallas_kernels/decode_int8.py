@@ -1,10 +1,13 @@
 """int8 fused decode: conv3x3(int8) + dequant + bias + PixelShuffle + act.
 
 The bf16 decode kernel (decode.py) runs at ~93% of this chip's measured
-bf16 MXU peak — the remaining decode headroom is algorithmic, and the v5e
-MXU multiplies int8 at 2x its bf16 rate.  Stage 5 of the paper config is
-76% of decode FLOPs and stage 4 another 19% (BENCHMARKS.md), so running
-just the last stages in int8 approaches a ~1.9x decode speedup bound.
+bf16 MXU peak — the remaining decode headroom is algorithmic.  Stage 5 of
+the paper config is 76% of decode FLOPs and stage 4 another 19%
+(BENCHMARKS.md), so the trailing stages run int8 here.  Measured: the
+int8 MATMUL lowers at ~the bf16 MXU rate on this chip (not the datasheet
+2x int8 figure), so the realized win — +26% at the stage-5 kernel, +17%
+end-to-end (525 vs 449 fps), at a calibrated 0.15 dB — comes from halving
+the HBM traffic of the halo windows and outputs.
 
 Quantization scheme (symmetric, no zero point — SAME-padding zeros stay
 exact):
