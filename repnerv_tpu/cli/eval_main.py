@@ -75,7 +75,17 @@ def run_eval(cfg: TrainConfig) -> dict:
             jnp.asarray(val_store.t[calib_rows], jnp.float32), final_cfg.embed
         )
         params = calibrate_int8(params, final_cfg, calib_emb)
-        print(f"int8 decode calibrated over {len(calib_rows)} frames")
+        if "int8" in params:
+            print(f"int8 decode calibrated over {len(calib_rows)} frames")
+        else:
+            # calibrate_int8 declines multi-head layouts / out-of-range
+            # int8_from_block — say so rather than claim int8 numbers
+            # (ADVICE r2: the PSNR/FPS below would be the f32/bf16 path)
+            print(
+                "WARNING: int8 calibration skipped (unsupported head layout "
+                f"or int8_from_block={final_cfg.int8_from_block} out of "
+                "range); measurements below use the non-int8 decode path"
+            )
 
     # quality + fps measurement (main_eval.py:738-827)
     eval_cfg = dataclasses.replace(cfg, model=final_cfg)

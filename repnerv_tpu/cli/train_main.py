@@ -210,13 +210,32 @@ def run_training(cfg: TrainConfig) -> dict:
                 state.params, eval_step, val_store, cfg, max_steps=max_steps
             )
             if cfg.eval_fps:
-                # decode-only fps (reference main_train.py:396-405 repeats the
-                # forward; metric fetch inside evaluate forces completion)
+                # decode-ONLY fps: repeat the forward over the val frames,
+                # no metric computation in the timed region — the reference's
+                # eval_fps surface (main_train.py:396-405 times 10 repeated
+                # forwards per batch with cuda.synchronize; here the whole
+                # val set decodes per rep and a scalar fetch forces
+                # completion, which block_until_ready does not on tunneled
+                # backends)
+                from ..train.loop import make_video_decode_fn
+
                 n_frames = val_store.num_samples if max_steps is None else min(
                     val_store.num_samples, max_steps * cfg.data.batch_size
                 )
-                fps = n_frames / max(time.perf_counter() - val_t0, 1e-9)
-                log_line(outf, 0, f"Eval FPS (incl. metrics): {fps:.2f}")
+                bsz = min(cfg.data.batch_size, n_frames)
+                nb = max(n_frames // bsz, 1)
+                t_mat = jnp.asarray(
+                    val_store.t[val_store.sample_indices()[: nb * bsz]],
+                    jnp.float32,
+                ).reshape(nb, bsz)
+                decode_all = make_video_decode_fn(cfg, keep_frames=False)
+                float(jnp.sum(decode_all(state.params, t_mat)))  # compile
+                reps = 3
+                fps_t0 = time.perf_counter()
+                for r in range(reps):
+                    float(jnp.sum(decode_all(state.params, t_mat + r * 1e-7)))
+                fps = reps * nb * bsz / max(time.perf_counter() - fps_t0, 1e-9)
+                log_line(outf, 0, f"FPS: {fps:.2f}")
             is_val_best = val_psnr[-1] > bests["val_best_psnr"]
             bests["val_best_psnr"] = max(bests["val_best_psnr"], float(val_psnr[-1]))
             bests["val_best_msssim"] = max(bests["val_best_msssim"], float(val_msssim[-1]))

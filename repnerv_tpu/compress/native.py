@@ -24,6 +24,33 @@ _SRC = os.path.join(_NATIVE_DIR, "huffman.cpp")
 _SO = os.path.join(_NATIVE_DIR, "libhuffman.so")
 
 
+def _build_and_dlopen(src: str, so: str) -> ctypes.CDLL:
+    """Compile-if-stale then dlopen; if a PREBUILT .so fails to load (wrong
+    arch/libc on this host), delete it and retry ONE forced rebuild from
+    source before giving up (ADVICE r2: a stale committed binary must not
+    silently disable the native path forever)."""
+    def build():
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+
+    if not os.path.exists(so) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
+    ):
+        build()
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        if not os.path.exists(src):
+            raise
+        os.remove(so)
+        build()
+        return ctypes.CDLL(so)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     with _LOCK:
@@ -33,17 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
         if os.environ.get("REPNERV_NO_NATIVE"):
             return None
         try:
-            if not os.path.exists(_SO) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-            ):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            lib = ctypes.CDLL(_SO)
+            lib = _build_and_dlopen(_SRC, _SO)
             lib.huffman_encode.restype = ctypes.c_longlong
             lib.huffman_encode.argtypes = [
                 ctypes.POINTER(ctypes.c_int32),
@@ -145,17 +162,7 @@ def _load_rans() -> Optional[ctypes.CDLL]:
         if os.environ.get("REPNERV_NO_NATIVE"):
             return None
         try:
-            if not os.path.exists(_RANS_SO) or (
-                os.path.exists(_RANS_SRC)
-                and os.path.getmtime(_RANS_SRC) > os.path.getmtime(_RANS_SO)
-            ):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _RANS_SO, _RANS_SRC],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            lib = ctypes.CDLL(_RANS_SO)
+            lib = _build_and_dlopen(_RANS_SRC, _RANS_SO)
             lib.rans_encode.restype = ctypes.c_longlong
             lib.rans_encode.argtypes = [
                 ctypes.POINTER(ctypes.c_int32),

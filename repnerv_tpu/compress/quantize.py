@@ -17,15 +17,30 @@ compiled train/decode path.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, NamedTuple, Tuple
 
 import numpy as np
 
 
+class QuantParams(NamedTuple):
+    """Per-tensor dequantization metadata: ``dequant = t_min + scale * q``.
+
+    ``t_min``/``scale`` are scalars (axis=-1) or per-slice vectors reshaped
+    for broadcast against the tensor; ``axis`` records the grouping used.
+    Serialized into the bitstream artifact (compress/bitstream.py) so a
+    decoder can reconstruct the dequantized weights bit-exactly.
+    """
+
+    t_min: np.ndarray
+    scale: np.ndarray
+    axis: int
+
+
 def quantize_per_tensor(
-    t: np.ndarray, bit: int = 8, axis: int = -1
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Return (integer codes, dequantized array).  axis=-1: global; 0/1: per-slice."""
+    t: np.ndarray, bit: int = 8, axis: int = -1, *, return_qparams: bool = False
+):
+    """Return (integer codes, dequantized array[, QuantParams]).
+    axis=-1: global; 0/1: per-slice."""
     t = np.asarray(t, dtype=np.float32)
     if axis == -1:
         valid = t != 0
@@ -57,6 +72,11 @@ def quantize_per_tensor(
 
     quant = np.round((t - tmin_b) / (scale_b + 1e-19))
     dequant = tmin_b + scale_b * quant
+    if return_qparams:
+        qp = QuantParams(
+            np.asarray(tmin_b, np.float32), np.asarray(scale_b, np.float32), axis
+        )
+        return quant, dequant.astype(np.float32), qp
     return quant, dequant.astype(np.float32)
 
 
@@ -64,22 +84,33 @@ def quantize_state(
     flat_params: Dict[str, np.ndarray],
     bit: int,
     axis: int = 0,
-) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], List[np.ndarray]]:
-    """Quantize every tensor of a flattened param dict.
+) -> Tuple[
+    Dict[str, np.ndarray],
+    Dict[str, np.ndarray],
+    List[np.ndarray],
+    Dict[str, QuantParams],
+]:
+    """Quantize every tensor of a flattened (torch-layout) param dict.
 
-    Mirrors main_eval.py:657-669: tensors with ndim in {2, 4} whose key is not
-    a bias quantize along ``axis``; the rest per-tensor.  Returns
-    (dequantized params, integer codes, list of nonzero code vectors for
-    entropy-coding statistics).
+    Reference-exact tensor selection (main_eval.py:662):
+    ``large_tf = v.dim() in {2, 4} and 'bias' not in k`` — 2D/4D non-bias
+    tensors quantize along ``axis`` of their OIHW / [out, in] layout (axis 0,
+    the default, groups per OUTPUT channel); everything else per-tensor.
+    Returns (dequantized params, integer codes, list of nonzero code vectors
+    for entropy-coding statistics, per-tensor QuantParams metadata).
     """
     dequant: Dict[str, np.ndarray] = {}
     codes: Dict[str, np.ndarray] = {}
     nonzero_codes: List[np.ndarray] = []
+    qparams: Dict[str, QuantParams] = {}
     for k, v in flat_params.items():
         v = np.asarray(v)
-        large = v.ndim in (2, 4) and "b" != k.rsplit("/", 1)[-1] and "bias" not in k
-        q, dq = quantize_per_tensor(v, bit, axis if large else -1)
+        large = v.ndim in (2, 4) and "bias" not in k
+        q, dq, qp = quantize_per_tensor(
+            v, bit, axis if large else -1, return_qparams=True
+        )
         codes[k] = q
         dequant[k] = dq
-        nonzero_codes.append(q[np.asarray(v) != 0].flatten())
-    return dequant, codes, nonzero_codes
+        qparams[k] = qp
+        nonzero_codes.append(q[v != 0].flatten())
+    return dequant, codes, nonzero_codes, qparams

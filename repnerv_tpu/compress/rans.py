@@ -81,9 +81,17 @@ class RansCodec:
 
     def encode(self, data: Sequence[float]) -> Tuple[bytes, int]:
         """Returns (blob, n_bits).  n_bits == len(blob) * 8 (byte stream)."""
+        # vectorized symbol -> index: self.syms is sorted (quantize_freqs),
+        # so searchsorted replaces the per-symbol dict lookup that made
+        # --codec rans O(n) interpreter-bound on multi-million-weight models
+        # (ADVICE r2)
+        arr = np.asarray(data)
+        sym_arr = np.asarray(self.syms)
         idx = np.ascontiguousarray(
-            [self._index[v] for v in np.asarray(data).tolist()], np.int32
+            np.searchsorted(sym_arr, arr).astype(np.int32)
         )
+        if (idx >= len(sym_arr)).any() or (sym_arr[idx] != arr).any():
+            raise KeyError("symbol not in codec table")
         blob = rans_native_encode(idx, self.freq, self.cum, self.scale_bits)
         if blob is None:
             blob = self._encode_py(idx)

@@ -79,7 +79,9 @@ def test_train_cli_resume(trained_dir):
     finally:
         os.chdir(cwd)
     log = (trained_dir / "result" / "e2e" / "smoke" / "rank0.txt").read_text()
-    assert "resumed from epoch 2" not in log.split("Epoch[3/3]")[0] or True
+    # the resumed run must start AT epoch 3 — re-running epochs 1-2 under the
+    # new 3-epoch schedule would mean the Orbax state was ignored
+    assert "Epoch[1/3]" not in log and "Epoch[2/3]" not in log
     # the third epoch ran exactly once after resume
     assert log.count("Epoch[3/3]") == 1
     assert log.count("Epoch[1/2]") == 1  # first run did epoch 1 once

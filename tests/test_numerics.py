@@ -297,9 +297,17 @@ def test_quantize_state_axis_selection():
         "stem/0/b": np.linspace(-1, 1, 16).astype(np.float32),
         "block/w": np.random.default_rng(5).normal(size=(3, 3, 4, 8)).astype(np.float32),
     }
-    dq, codes, nz = quantize_state(params, bit=8, axis=0)
+    dq, codes, nz, qparams = quantize_state(params, bit=8, axis=0)
     assert set(dq) == set(params)
     assert len(nz) == 3
+    # QuantParams reconstruct the dequantized tensors bit-exactly
+    for k in params:
+        rec = qparams[k].t_min + qparams[k].scale * codes[k]
+        np.testing.assert_array_equal(rec.astype(np.float32), dq[k])
+    # 2D/4D non-bias tensors grouped per axis-0 slice; bias per-tensor
+    assert qparams["stem/0/w"].t_min.shape == (8, 1)
+    assert qparams["block/w"].t_min.shape == (3, 1, 1, 1)
+    assert qparams["stem/0/b"].t_min.shape == ()
     for k in params:
         assert dq[k].shape == params[k].shape
         err = np.abs(dq[k] - params[k]).max()
