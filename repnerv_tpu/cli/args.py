@@ -118,6 +118,12 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
         "or rans (fractional-bit, ~0.3%% smaller BPP measured)",
     )
     p.add_argument(
+        "--save_bitstream", action="store_true",
+        help="write the entropy-coded model artifact (.rnvb), verify its "
+        "decode bit-exactly, and report the all-in BPP (file bytes incl. "
+        "codec table/qparams/sparsity map) next to the symbol-only BPP",
+    )
+    p.add_argument(
         "--decode_int8", action="store_true",
         help="int8 MXU decode for the trailing blocks (measured +40%% fps "
         "at -0.15 dB); scales calibrated from the first val frames",
@@ -190,6 +196,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         finetune_epochs=getattr(a, "finetune_epochs", 100),
         finetune_lr_mode=getattr(a, "finetune_lr_mode", "fresh"),
         codec=getattr(a, "codec", "huffman"),
+        save_bitstream=getattr(a, "save_bitstream", False),
         lr_frac_mode=a.lr_frac_mode,
         dump_images=a.dump_images,
         dump_gt=a.dump_gt,

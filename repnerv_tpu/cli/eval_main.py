@@ -52,13 +52,43 @@ def run_eval(cfg: TrainConfig) -> dict:
     print(f"loaded {path} (branch={cfg.model.branch_type}, deploy={load_cfg.deploy})")
 
     work_cfg = dataclasses.replace(cfg, model=load_cfg)
+    bitstream_path = (
+        os.path.join(
+            outf,
+            f"model_pr{cfg.prune_ratio:.2f}_q{cfg.quant_bit}.rnvb",
+        )
+        if cfg.save_bitstream and cfg.quant_bit != -1
+        else None
+    )
     params, report = compress(
         params,
         work_cfg,
         store,
         max_steps_per_epoch=10 if cfg.debug else None,
         start_epoch=int(extra.get("epoch", cfg.epochs)),
+        bitstream_path=bitstream_path,
     )
+    if bitstream_path:
+        # the artifact must reproduce the evaluated weights BIT-EXACTLY —
+        # load it back and compare leaf-for-leaf before trusting its size
+        from ..compress.bitstream import read_bitstream
+
+        loaded, _, _ = read_bitstream(bitstream_path)
+        flat_a = jax.tree.leaves(params)
+        flat_b = jax.tree.leaves(loaded)
+        assert len(flat_a) == len(flat_b) and all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(flat_a, flat_b)
+        ), "bitstream decode does not match the evaluated weights"
+        acct = report.extras["bitstream"]
+        print(
+            f"bitstream: {bitstream_path} ({int(acct['file_bytes'])} bytes; "
+            f"payload {int(acct['payload_bits'])} bits, header "
+            f"{int(acct['header_bytes'])} B, qparams {int(acct['qparams_bytes'])} B, "
+            f"sparsity map {int(acct['bitmap_bytes'])} B); decode verified "
+            f"bit-exact; all-in BPP {acct.get('bpp_all_in', 0.0):.6f} vs "
+            f"symbol-only {report.bpp:.6f}"
+        )
     final_cfg = dataclasses.replace(
         cfg.model, deploy=reparam or load_cfg.deploy
     )
@@ -178,6 +208,9 @@ def run_eval(cfg: TrainConfig) -> dict:
         "efficiency": report.efficiency,
         "bpp": report.bpp,
     }
+    if "bitstream" in report.extras:
+        result["bitstream_bytes"] = report.extras["bitstream"]["file_bytes"]
+        result["bpp_all_in"] = report.extras["bitstream"].get("bpp_all_in", 0.0)
     fname = (
         f"finetune_e{cfg.finetune_epochs}_pr{cfg.prune_ratio:.2f}_q{cfg.quant_bit if cfg.quant_bit != -1 else 'none'}.txt"
         if cfg.finetune

@@ -82,6 +82,22 @@ class HuffmanCodec:
     def from_data(cls, data: Iterable) -> "HuffmanCodec":
         return cls.from_frequencies(Counter(data))
 
+    @classmethod
+    def from_lengths(cls, lengths: Dict[float, int]) -> "HuffmanCodec":
+        """Rebuild a codec from {symbol: bit_length} — the canonical-code
+        property makes lengths alone sufficient, which is what the bitstream
+        artifact serializes (compress/bitstream.py)."""
+        table: Dict[float, Tuple[int, int]] = {}
+        code = 0
+        prev_len = 0
+        for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+            ln = lengths[sym]
+            code <<= ln - prev_len
+            table[sym] = (ln, code)
+            code += 1
+            prev_len = ln
+        return cls(table)
+
     # -- accounting --------------------------------------------------------
 
     def get_code_table(self) -> Dict[float, Tuple[int, int]]:

@@ -176,6 +176,7 @@ def compress(
     deploy_after: bool = True,
     max_steps_per_epoch: Optional[int] = None,
     start_epoch: int = 0,
+    bitstream_path: Optional[str] = None,
 ) -> Tuple[Params, CompressionReport]:
     """Full PATH A/B pipeline over in-memory params.
 
@@ -183,7 +184,15 @@ def compress(
     main_eval.py does; this function then matches the corresponding path.
     ``start_epoch`` (the loaded checkpoint's epoch) only matters for
     ``finetune_lr_mode="reference"``.
+
+    With ``bitstream_path`` (and quantization on), the real entropy-coded
+    artifact is written from the pre-quantization params — its decode equals
+    the returned dequantized params bit-exactly (compress/bitstream.py uses
+    the same quantize_state call) — and ``report.extras["bitstream"]`` gains
+    the on-disk accounting incl. the all-in BPP.
     """
+    import dataclasses as dc
+
     report = CompressionReport()
     params, masks = prune_params(params, cfg, report)
     if cfg.finetune and cfg.prune_ratio < 1.0:
@@ -196,5 +205,18 @@ def compress(
         params, _ = generator_to_deploy(params, cfg.model)
     hw = store.hw if store is not None else None
     n = store.frames.shape[0] if store is not None else 0
+    prequant = params
     params = quantize_params(params, cfg, report, frame_hw=hw, n_frames=n)
+    if bitstream_path and cfg.quant_bit != -1:
+        from .bitstream import all_in_bpp, write_bitstream
+
+        deployed = any("rbr_reparam" in b for b in prequant["blocks"])
+        mcfg = dc.replace(cfg.model, deploy=cfg.model.deploy or deployed)
+        acct = write_bitstream(
+            bitstream_path, prequant, mcfg, cfg.quant_bit, cfg.quant_axis,
+            cfg.codec,
+        )
+        if hw is not None and n:
+            acct["bpp_all_in"] = all_in_bpp(acct["file_bytes"], n, *hw)
+        report.extras["bitstream"] = acct
     return params, report

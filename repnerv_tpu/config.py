@@ -136,6 +136,12 @@ class TrainConfig:
     # "huffman" (reference dahuffman parity, main_eval.py:673-698) or "rans"
     # (fractional-bit coding; measured ~0.3% smaller BPP on the smooth
     # weight histograms — compress/rans.py)
+    save_bitstream: bool = False  # write the real compressed artifact
+    # (codes + codec table + qparams + sparsity map in one file) and verify
+    # its decode reproduces the evaluated weights bit-exactly; reports the
+    # all-in BPP next to the reference-style symbol-only estimate
+    # (compress/bitstream.py — the reference never writes an artifact,
+    # main_eval.py:714-727 only estimates)
 
     # parity dials (documented deviations from the reference, each with a
     # flag to reproduce the reference behavior exactly for A/B runs)

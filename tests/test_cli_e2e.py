@@ -96,7 +96,7 @@ def test_eval_cli_prune_quant(trained_dir, path_a):
     if path_a:
         argv += ["--finetune", "--finetune_epochs", "2"]
     else:
-        argv += ["--dump_images", "--dump_gt"]
+        argv += ["--dump_images", "--dump_gt", "--save_bitstream"]
 
     cwd = os.getcwd()
     os.chdir(trained_dir)
@@ -118,6 +118,12 @@ def test_eval_cli_prune_quant(trained_dir, path_a):
     assert result["fps"] > 0 and result["micro_fps"] > 0
 
     if not path_a:
+        # the real compressed artifact: written, verified bit-exact by the
+        # CLI itself, and the all-in BPP (incl. metadata) exceeds symbol-only
+        assert (outf / "model_pr0.50_q8.rnvb").exists()
+        assert result["bitstream_bytes"] > 0
+        assert result["bpp_all_in"] > result["bpp"]
+
         # image-dump parity: EVERY val frame with global indices, plus gt
         # (reference main_eval.py:794-804)
         vis = outf / "visualize"

@@ -252,3 +252,84 @@ def test_pipeline_rans_codec_smaller_bpp():
     )
     assert 0 < rep_rans.bpp < rep_huff.bpp
     assert rep_rans.efficiency < rep_huff.efficiency
+
+
+# ---------------------------------------------------------------------------
+# Bitstream artifact (compress/bitstream.py) — save -> load -> bit-exact
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["huffman", "rans"])
+@pytest.mark.parametrize("branch_type", ["NeRV_vanilla", "ERB"])
+def test_bitstream_roundtrip_bit_exact(tmp_path, codec, branch_type):
+    """save_bitstream -> read_bitstream reproduces the pipeline's dequantized
+    params BIT-exactly (incl. pruned zeros whose codes decode from QuantParams
+    alone), and the file size stays within the symbol-bits + measured
+    metadata budget (VERDICT r2 next-step #4)."""
+    import dataclasses
+
+    from repnerv_tpu.compress.bitstream import (
+        all_in_bpp,
+        read_bitstream,
+        write_bitstream,
+    )
+
+    mcfg = tiny_model(branch_type=branch_type)
+    cfg = tiny_train(model=mcfg, prune_ratio=0.3, quant_bit=6, codec=codec)
+    params = init_generator(jax.random.PRNGKey(2), mcfg)
+    store = make_store(cfg)
+
+    path = str(tmp_path / "model.rnvb")
+    out_params, report = compress(params, cfg, store, bitstream_path=path)
+    acct = report.extras["bitstream"]
+    assert acct["file_bytes"] > 0
+
+    loaded, loaded_cfg, header = read_bitstream(path)
+    # the artifact records the DEPLOY config for reparam branches
+    assert loaded_cfg.deploy == (branch_type != "NeRV_vanilla")
+    flat_a = jax.tree.leaves(out_params)
+    flat_b = jax.tree.leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # size accounting: file = 16B magic/lens + header + qparams + bitmaps
+    # + ceil(payload_bits/8)
+    expected = (
+        acct["header_bytes"]
+        + acct["qparams_bytes"]
+        + acct["bitmap_bytes"]
+        + int(np.ceil(acct["payload_bits"] / 8))
+    )
+    assert acct["file_bytes"] == expected
+    # symbol-only bits agree with the pipeline's Huffman estimate for the
+    # huffman codec (rans measures real fractional-bit output <= huffman's)
+    if codec == "huffman":
+        assert acct["payload_bits"] == report.total_bits
+    else:
+        assert acct["payload_bits"] <= report.total_bits * 1.02
+    bpp = all_in_bpp(acct["file_bytes"], store.frames.shape[0], *store.hw)
+    assert bpp > report.bpp  # honest BPP includes the metadata
+
+
+def test_bitstream_decode_matches_quality(tmp_path):
+    """Decoding the artifact and running the generator yields the SAME frames
+    as the pipeline's in-memory dequantized params (save -> load -> same
+    PSNR, by bit-identical weights)."""
+    mcfg = tiny_model(branch_type="ERB")
+    cfg = tiny_train(model=mcfg, prune_ratio=0.5, quant_bit=8)
+    params = init_generator(jax.random.PRNGKey(3), mcfg)
+    store = make_store(cfg)
+    path = str(tmp_path / "model.rnvb")
+    out_params, _ = compress(params, cfg, store, bitstream_path=path)
+
+    from repnerv_tpu.compress.bitstream import read_bitstream
+
+    loaded, loaded_cfg, _ = read_bitstream(path)
+    emb = positional_encoding(jnp.asarray(store.t[:2]), mcfg.embed)
+    import dataclasses
+
+    dcfg = dataclasses.replace(mcfg, deploy=True, use_pallas_decode=False)
+    a = apply_generator(out_params, emb, dcfg, train=False)[-1]
+    b = apply_generator(loaded, emb, dcfg, train=False)[-1]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
