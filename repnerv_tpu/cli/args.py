@@ -128,6 +128,11 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
         help="int8 MXU decode for the trailing blocks (measured +40%% fps "
         "at -0.15 dB); scales calibrated from the first val frames",
     )
+    p.add_argument(
+        "--int8_from_block", type=int, default=-2,
+        help="first int8 block, counted from the end (-1 = last block only, "
+        "-3 = last three); trades decode fps against quantization error",
+    )
     p.add_argument("--remat", action="store_true", help="rematerialize block activations in backward")
     p.add_argument("--profile", action="store_true", help="capture a JAX profiler trace of epoch 1")
     return p
@@ -155,6 +160,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         online_fuse=not a.no_online_fuse,
         use_pallas_decode=not a.no_pallas_decode,
         decode_int8=getattr(a, "decode_int8", False),
+        int8_from_block=getattr(a, "int8_from_block", -2),
         remat=a.remat,
     )
     data = DataConfig(

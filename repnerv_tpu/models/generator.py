@@ -241,32 +241,53 @@ def calibrate_int8(
     if not (0 <= first < n_blocks):
         return params
 
-    # f32 forward, collecting each block's input activation.  Runs in
-    # 2-frame chunks: this path executes eagerly (per-op dispatch holds
-    # every intermediate alive), and a 1080p 8-frame sweep transiently
-    # needs ~13 GB of f32 stage buffers — more HBM than the chip has.
+    # f32 forward collecting every block's input abs-max, under ONE jit:
+    # a lax.scan over 2-frame chunks bounds the live footprint to a single
+    # chunk's stage buffers (the eager per-op loop this replaces held every
+    # intermediate alive — a 1080p 8-frame sweep transiently needed ~13 GB)
+    # and dispatches once instead of per-op.
     h, w, c = cfg.fc_hwd
     plan = stage_channels(cfg)
-    n_blocks_ = len(params["blocks"])
     for bparams in params["blocks"]:
         if "rbr_reparam" not in bparams:
             raise ValueError("calibrate_int8 needs deploy params (fused blocks)")
-    amax: List[jnp.ndarray] = [jnp.float32(0.0)] * n_blocks_
-    for lo in range(0, calib_embeds.shape[0], 2):
-        x = apply_mlp(params["stem"], calib_embeds[lo : lo + 2], cfg.act)
-        x = x.reshape(x.shape[0], c, h, w).transpose(0, 2, 3, 1)
-        for i, bparams in enumerate(params["blocks"]):
-            amax[i] = jnp.maximum(amax[i], jnp.max(jnp.abs(x)))
-            x = apply_block(
-                bparams,
-                x,
-                stride=plan[i][2],
-                branch_type=cfg.branch_type,
-                norm=cfg.norm,
-                act=cfg.act,
-                train=False,
-            )
-        del x
+
+    chunk = 2
+    pad = (-calib_embeds.shape[0]) % chunk
+    if pad:
+        # repeating the last frame cannot change any max
+        calib_embeds = jnp.concatenate(
+            [calib_embeds, jnp.repeat(calib_embeds[-1:], pad, axis=0)]
+        )
+    chunks = calib_embeds.reshape(-1, chunk, calib_embeds.shape[-1])
+
+    @jax.jit
+    def collect_amax(p, emb_chunks):
+        def body(carry, emb):
+            x = apply_mlp(p["stem"], emb, cfg.act)
+            x = x.reshape(x.shape[0], c, h, w).transpose(0, 2, 3, 1)
+            per_block = []
+            for i, bparams in enumerate(p["blocks"]):
+                per_block.append(jnp.max(jnp.abs(x)))
+                x = apply_block(
+                    bparams,
+                    x,
+                    stride=plan[i][2],
+                    branch_type=cfg.branch_type,
+                    norm=cfg.norm,
+                    act=cfg.act,
+                    train=False,
+                )
+            return jnp.maximum(carry, jnp.stack(per_block)), None
+
+        init = jnp.zeros(len(p["blocks"]), jnp.float32)
+        out, _ = jax.lax.scan(body, init, emb_chunks)
+        return out
+
+    amax = collect_amax(
+        {"stem": params["stem"], "blocks": params["blocks"]},
+        chunks.astype(jnp.float32),
+    )
 
     table: Dict[str, Params] = {}
     for i in range(first, n_blocks):
