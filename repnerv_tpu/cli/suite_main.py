@@ -1,0 +1,207 @@
+"""Multi-video suite driver — fit N videos, report a per-video table.
+
+The reference's UVG workflow is seven separate shell invocations, one per
+video (reference README.md:63-111; model.py:37-49 ``vid_list``).  This
+driver fits the whole suite in one command:
+
+* ``--suite_mode sequential`` (default on one chip): per-video fits reusing
+  the fused-epoch train machinery — reference-parity behavior.
+* ``--suite_mode parallel`` (needs >= n_videos devices): the stacked
+  per-video states shard one-fit-per-device over a ``("video",)`` mesh and
+  every epoch is ONE dispatch for the whole suite (parallel/suite.py) —
+  the suite finishes in a single video's wall-clock while preserving the
+  quality-critical ``-b 1`` regime inside each fit.
+
+After fitting, each video's params are (optionally) pushed through the
+prune/quant/entropy pipeline for BPP, and the per-video + aggregate
+PSNR/MS-SSIM/BPP table lands in ``--suite_out`` (default
+``results/uvg_suite.json``).
+
+Synthetic stand-ins: with ``--dataset synth`` each video v draws its own
+deterministic content (seed = manual_seed + v); with a real frame dir the
+``--vid`` subsets select the videos, one fit per subset entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..compress.pipeline import compress
+from ..config import TrainConfig
+from ..data.frames import FrameStore, make_frame_store, synthetic_video
+from ..models.generator import generator_to_deploy
+from ..train.loop import (
+    init_train_state,
+    make_epoch_fn,
+    run_fused_epoch,
+)
+from .args import args_to_config, build_parser
+
+
+def _suite_stores(cfg: TrainConfig, n_videos: int) -> list:
+    """One FrameStore per video."""
+    stores = []
+    if cfg.data.dataset == "synth" or cfg.data.synthetic_frames > 0:
+        h, w = cfg.data.synthetic_hw
+        for v in range(n_videos):
+            frames, t = synthetic_video(
+                cfg.data.synthetic_frames, h, w, seed=cfg.manual_seed + v
+            )
+            stores.append(
+                FrameStore(jnp.asarray(frames), t, cfg.data.frame_gap)
+            )
+    else:
+        for v in range(n_videos):
+            d = dataclasses.replace(cfg.data, vid=(v,))
+            stores.append(make_frame_store(d, split="train"))
+    return stores
+
+
+def _measure_video(params, store, cfg: TrainConfig, v: int) -> dict:
+    """Deploy -> (optional) compress -> PSNR/MS-SSIM/BPP for one video."""
+    reparam = cfg.model.branch_type != "NeRV_vanilla"
+    mcfg = cfg.model
+    if reparam:
+        params, mcfg = generator_to_deploy(params, mcfg)
+    row: dict = {"video": v}
+    if cfg.quant_bit != -1 or cfg.prune_ratio < 1.0:
+        ccfg = dataclasses.replace(cfg, model=mcfg, finetune=False)
+        params, report = compress(params, ccfg, store, deploy_after=False)
+        row.update(bpp=report.bpp, efficiency=report.efficiency)
+    from ..train.loop import evaluate, make_eval_step
+
+    ecfg = dataclasses.replace(cfg, model=mcfg)
+    with_msssim = min(store.hw) > 160
+    psnr, msssim = evaluate(
+        params, make_eval_step(ecfg, with_msssim), store, ecfg
+    )
+    row.update(psnr=float(psnr[-1]), msssim=float(msssim[-1]))
+    return row
+
+
+def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dict:
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+    stores = _suite_stores(cfg, n_videos)
+    b = cfg.data.batch_size
+    steps = max(stores[0].num_samples // b, 1)
+    with_msssim = min(stores[0].hw) > 160
+    t0 = time.time()
+
+    if mode == "parallel":
+        from jax.sharding import Mesh
+        from ..parallel.suite import (
+            init_suite_states,
+            make_suite_epoch_fn,
+            extract_video_params,
+            run_suite_epoch,
+            shard_suite,
+        )
+
+        n_dev = len(jax.devices())
+        axis = min(n_dev, n_videos)
+        if n_videos % axis != 0:
+            print(
+                f"WARNING: {n_videos} videos do not divide over {n_dev} "
+                "devices; falling back to sequential"
+            )
+            return run_suite(cfg, n_videos, "sequential", suite_out)
+        mesh = Mesh(np.asarray(jax.devices()[:axis]), ("video",))
+        videos = shard_suite(
+            jnp.stack([s.frames for s in stores]), mesh
+        )
+        t_all = shard_suite(
+            jnp.asarray(np.stack([s.t for s in stores]), jnp.float32), mesh
+        )
+        states = shard_suite(
+            init_suite_states(
+                jax.random.PRNGKey(cfg.manual_seed), cfg, n_videos
+            ),
+            mesh,
+        )
+        epoch_fn = make_suite_epoch_fn(
+            cfg, steps, mesh=mesh, with_msssim=with_msssim
+        )
+        for epoch in range(cfg.epochs):
+            states, m = run_suite_epoch(
+                states, epoch_fn, videos, t_all, cfg, epoch, steps, mesh
+            )
+            if epoch % max(cfg.print_freq // steps, 1) == 0 or epoch == cfg.epochs - 1:
+                ps = " ".join(f"{p[-1]:.2f}" for p in m["psnr"])
+                print(f"epoch {epoch + 1}/{cfg.epochs} per-video PSNR: {ps}")
+        per_video_params = [
+            extract_video_params(states, v) for v in range(n_videos)
+        ]
+    else:
+        per_video_params = []
+        # same per-video keys as parallel/suite.py init_suite_states, so the
+        # two modes produce identical fits (pinned by test_suite.py)
+        vkeys = jax.random.split(
+            jax.random.PRNGKey(cfg.manual_seed), len(stores)
+        )
+        for v, store in enumerate(stores):
+            state = init_train_state(vkeys[v], cfg)
+            # per-video seed offset matches parallel/suite.py suite_perms
+            vcfg = dataclasses.replace(cfg, manual_seed=cfg.manual_seed + v)
+            epoch_fn = make_epoch_fn(cfg, steps, with_msssim=with_msssim)
+            for epoch in range(cfg.epochs):
+                state, m = run_fused_epoch(
+                    state, epoch_fn, store, vcfg, epoch
+                )
+            print(
+                f"video {v}: final train PSNR {m.psnr[-1]:.2f} "
+                f"MS-SSIM {m.msssim[-1]:.4f}"
+            )
+            per_video_params.append(
+                jax.tree.map(np.asarray, state.params)
+            )
+
+    fit_s = time.time() - t0
+    rows = [
+        _measure_video(p, s, cfg, v)
+        for v, (p, s) in enumerate(zip(per_video_params, stores))
+    ]
+    result = {
+        "mode": mode,
+        "n_videos": n_videos,
+        "epochs": cfg.epochs,
+        "fit_seconds": fit_s,
+        "videos": rows,
+        "mean_psnr": float(np.mean([r["psnr"] for r in rows])),
+        "mean_msssim": float(np.mean([r["msssim"] for r in rows])),
+    }
+    if all("bpp" in r for r in rows):
+        result["mean_bpp"] = float(np.mean([r["bpp"] for r in rows]))
+    os.makedirs(os.path.dirname(suite_out) or ".", exist_ok=True)
+    with open(suite_out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return result
+
+
+def main(argv=None):
+    p = build_parser(eval_mode=False)
+    p.add_argument("--n_videos", type=int, default=7, help="suite size (UVG: 7)")
+    p.add_argument(
+        "--suite_mode",
+        default="sequential",
+        choices=["sequential", "parallel"],
+        help="parallel = one fit per device over a ('video',) mesh",
+    )
+    p.add_argument("--suite_out", default="results/uvg_suite.json")
+    a = p.parse_args(argv)
+    cfg = args_to_config(a)
+    return run_suite(cfg, a.n_videos, a.suite_mode, a.suite_out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Multi-video suite fitting — the UVG workflow, TPU-native.
+
+The reference fits the 7 UVG videos one ``python main_train.py`` run at a
+time (reference README.md:63-111 — one shell command per video;
+model.py:37-49 ``vid_list`` selects the video from the frame directory).
+NeRV fitting is embarrassingly parallel across videos — no state is shared
+between fits — so the TPU-native driver adds a mode the reference cannot
+express:
+
+* **sequential** (single chip): one fit per video, reference parity; the
+  driver in ``cli/suite_main.py`` reuses the fused-epoch train machinery.
+* **parallel** (mesh): ONE program fits every video simultaneously.  The
+  per-video train states stack on a leading ``"video"`` axis that shards
+  over the mesh (one fit per device); the whole-epoch ``lax.scan`` vmaps
+  over that axis.  No collective crosses the video axis, so GSPMD
+  partitions the computation trivially and the suite costs a single
+  video's wall-clock.  This preserves the quality-critical ``-b 1``
+  regime per video while still filling the pod — the natural TPU scale-out
+  for video suites (BENCHMARKS.md: batching frames *within* one video
+  costs PSNR; batching *videos* is free).
+
+Used by ``cli/suite_main.py`` and exercised on the virtual 8-device CPU
+mesh in ``tests/test_suite.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig
+from ..models.embedding import positional_encoding
+from ..models.generator import apply_generator
+from ..ops.metrics import msssim_fn, psnr_fn
+from ..train.loop import TrainState, build_train_step_fn, init_train_state
+
+Params = Dict[str, Any]
+
+
+def init_suite_states(key, cfg: TrainConfig, n_videos: int) -> TrainState:
+    """Stack ``n_videos`` independent train states on a leading video axis.
+
+    Each video gets its own PRNG stream, so the stacked init equals the
+    sequential per-video inits leaf-for-leaf (test_suite.py pins this).
+    """
+    keys = jax.random.split(key, n_videos)
+    return jax.vmap(lambda k: init_train_state(k, cfg))(keys)
+
+
+def video_sharding(mesh: Optional[Mesh], axis: str = "video"):
+    if mesh is None or axis not in mesh.axis_names:
+        return None
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_suite(tree, mesh: Optional[Mesh], axis: str = "video"):
+    """Shard every leaf's leading (video) axis over the mesh; no-op off-mesh."""
+    s = video_sharding(mesh, axis)
+    if s is None:
+        return tree
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def make_suite_epoch_fn(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    *,
+    mesh: Optional[Mesh] = None,
+    with_msssim: bool = False,
+):
+    """Whole-epoch scan vmapped over the video axis, in ONE jit.
+
+    Call: (states, videos_u8 [V,N,H,W,3], perms [V,steps,B], t_all [V,N])
+    -> (states, aux) with aux entries stacked [V, steps, ...].
+
+    With a mesh, ``shard_map`` splits the video axis across devices and each
+    device vmaps over its local videos — V independent fits per dispatch.
+    shard_map (not bare GSPMD) is load-bearing here: vmap lowers the
+    per-video convs to feature-grouped convs, and GSPMD cannot partition a
+    grouped conv along the group axis (it emits an invalid conv when the
+    video axis is sharded); inside a shard_map body the group count is the
+    LOCAL video count, which never crosses a device boundary.
+    """
+    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+
+    def one_video_epoch(state: TrainState, video_u8, perm, t_all):
+        def body(st, rows):
+            frames = video_u8[rows].astype(jnp.float32) / 255.0
+            return step_fn(st, frames, t_all[rows], None)
+
+        return jax.lax.scan(body, state, perm)
+
+    vepoch = jax.vmap(one_video_epoch)
+    if mesh is not None and "video" in mesh.axis_names:
+        vepoch = jax.shard_map(
+            vepoch,
+            mesh=mesh,
+            in_specs=(P("video"), P("video"), P("video"), P("video")),
+            out_specs=(P("video"), P("video")),
+            check_vma=False,
+        )
+    return jax.jit(vepoch, donate_argnums=(0,))
+
+
+def suite_perms(
+    cfg: TrainConfig,
+    n_videos: int,
+    n_frames: int,
+    steps_per_epoch: int,
+    epoch: int,
+) -> np.ndarray:
+    """Per-video shuffled batch matrices [V, steps, B].  Seeds match the
+    sequential driver's (loop.run_fused_epoch uses seed*100003+epoch with
+    the suite adding a per-video offset), so parallel == sequential."""
+    b = cfg.data.batch_size
+    out = np.empty((n_videos, steps_per_epoch, b), np.int32)
+    for v in range(n_videos):
+        rng = np.random.default_rng(
+            (cfg.manual_seed + v) * 100003 + epoch
+        )
+        idx = rng.permutation(n_frames)
+        out[v] = idx[: steps_per_epoch * b].reshape(steps_per_epoch, b)
+    return out
+
+
+def run_suite_epoch(
+    states: TrainState,
+    epoch_fn,
+    videos_u8: jnp.ndarray,
+    t_all: jnp.ndarray,
+    cfg: TrainConfig,
+    epoch: int,
+    steps_per_epoch: int,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[TrainState, Dict[str, np.ndarray]]:
+    """One parallel epoch over every video; returns per-video metrics."""
+    perms = jnp.asarray(
+        suite_perms(
+            cfg, videos_u8.shape[0], videos_u8.shape[1], steps_per_epoch, epoch
+        )
+    )
+    perms = shard_suite(perms, mesh)
+    states, aux = epoch_fn(states, videos_u8, perms, t_all)
+    psnr = np.asarray(aux["psnr"])  # [V, steps, n_stage]
+    metrics = {
+        "psnr": psnr.mean(axis=1),
+        "loss": np.asarray(aux["loss"]).mean(axis=1),
+        "lr": np.asarray(aux["lr"])[:, -1],
+    }
+    if "msssim" in aux:
+        metrics["msssim"] = np.asarray(aux["msssim"]).mean(axis=1)
+    return states, metrics
+
+
+def make_suite_eval_fn(cfg: TrainConfig, *, with_msssim: bool = True):
+    """Vmapped whole-suite eval: (params, videos_u8, rows [V,nb,B], t_all
+    [V,N]) -> per-video per-stage (psnr, msssim) means."""
+    mcfg = cfg.model
+
+    def one_video(params, video_u8, rows, t_all):
+        def body(_, r):
+            frames = video_u8[r].astype(jnp.float32) / 255.0
+            embed = positional_encoding(t_all[r], mcfg.embed)
+            outs = apply_generator(params, embed, mcfg, train=False)
+            from ..data.frames import adaptive_avg_pool
+
+            targets = [adaptive_avg_pool(frames, o.shape[1:3]) for o in outs]
+            p = jnp.mean(psnr_fn(outs, targets), axis=0)
+            m = (
+                jnp.mean(msssim_fn(outs, targets), axis=0)
+                if with_msssim
+                else jnp.zeros_like(p)
+            )
+            return None, (p, m)
+
+        _, (p, m) = jax.lax.scan(body, None, rows)
+        return p.mean(axis=0), m.mean(axis=0)
+
+    return jax.jit(jax.vmap(one_video))
+
+
+def extract_video_params(states: TrainState, v: int) -> Params:
+    """Pull one video's params out of the stacked suite state (host-side)."""
+    return jax.tree.map(lambda x: np.asarray(x[v]), states.params)

@@ -1,0 +1,191 @@
+"""Multi-video suite tests (VERDICT r2 next-step #6): the parallel
+one-fit-per-device mode on the virtual 8-device mesh equals sequential
+per-video fits, and the CLI driver emits the aggregate JSON table.
+
+Reference workflow being covered: one ``main_train.py`` run per UVG video
+(reference README.md:63-111, model.py:37-49 vid_list)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from repnerv_tpu.data.frames import FrameStore, synthetic_video
+from repnerv_tpu.parallel.suite import (
+    extract_video_params,
+    init_suite_states,
+    make_suite_epoch_fn,
+    run_suite_epoch,
+    shard_suite,
+    suite_perms,
+)
+from repnerv_tpu.train.loop import init_train_state, make_epoch_fn, run_fused_epoch
+
+from test_model_train import make_store, tiny_model, tiny_train
+
+import dataclasses
+
+from jax.sharding import Mesh
+
+
+def _stores(cfg, n_videos):
+    h, w = cfg.data.synthetic_hw
+    out = []
+    for v in range(n_videos):
+        frames, t = synthetic_video(
+            cfg.data.synthetic_frames, h, w, seed=cfg.manual_seed + v
+        )
+        out.append(FrameStore(jnp.asarray(frames), t, 1))
+    return out
+
+
+def test_suite_videos_are_distinct():
+    cfg = tiny_train()
+    a, b = _stores(cfg, 2)
+    assert not np.array_equal(np.asarray(a.frames), np.asarray(b.frames))
+
+
+def test_parallel_suite_matches_sequential_fits():
+    """4 videos fitted in ONE vmapped program over a ('video',) mesh equal
+    4 independent sequential fits leaf-for-leaf (same keys, same perms)."""
+    n_videos, epochs = 4, 3
+    cfg = tiny_train(epochs=10)
+    stores = _stores(cfg, n_videos)
+    steps = stores[0].num_samples // cfg.data.batch_size
+
+    # sequential reference: same per-video keys/seed offsets as the driver
+    vkeys = jax.random.split(jax.random.PRNGKey(cfg.manual_seed), n_videos)
+    seq_params, seq_losses = [], []
+    for v, store in enumerate(stores):
+        state = init_train_state(vkeys[v], cfg)
+        vcfg = dataclasses.replace(cfg, manual_seed=cfg.manual_seed + v)
+        epoch_fn = make_epoch_fn(cfg, steps, with_msssim=False)
+        for epoch in range(epochs):
+            state, m = run_fused_epoch(state, epoch_fn, store, vcfg, epoch)
+        seq_params.append(jax.tree.map(np.asarray, state.params))
+        seq_losses.append(m.loss)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_videos]), ("video",))
+    videos = shard_suite(jnp.stack([s.frames for s in stores]), mesh)
+    t_all = shard_suite(
+        jnp.asarray(np.stack([s.t for s in stores]), jnp.float32), mesh
+    )
+    states = shard_suite(
+        init_suite_states(jax.random.PRNGKey(cfg.manual_seed), cfg, n_videos),
+        mesh,
+    )
+    epoch_fn = make_suite_epoch_fn(cfg, steps, mesh=mesh, with_msssim=False)
+    for epoch in range(epochs):
+        states, metrics = run_suite_epoch(
+            states, epoch_fn, videos, t_all, cfg, epoch, steps, mesh
+        )
+
+    assert metrics["psnr"].shape[0] == n_videos
+    for v in range(n_videos):
+        par = extract_video_params(states, v)
+        for a, b in zip(jax.tree.leaves(par), jax.tree.leaves(seq_params[v])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            )
+        assert metrics["loss"][v] == pytest.approx(seq_losses[v], rel=1e-4)
+
+
+def test_suite_perms_match_sequential_shuffles():
+    """suite_perms reproduces run_fused_epoch's per-epoch shuffle for the
+    per-video seed offsets the sequential driver uses."""
+    cfg = tiny_train()
+    perms = suite_perms(cfg, 3, 8, 2, epoch=5)
+    for v in range(3):
+        rng = np.random.default_rng((cfg.manual_seed + v) * 100003 + 5)
+        idx = rng.permutation(8)
+        np.testing.assert_array_equal(
+            perms[v], idx[: 2 * cfg.data.batch_size].reshape(2, -1)
+        )
+
+
+def test_suite_parallel_trains_each_video():
+    """Every video's loss decreases over epochs of the parallel fit."""
+    n_videos = 8
+    cfg = tiny_train(epochs=12, model=tiny_model(branch_type="ERB"))
+    stores = _stores(cfg, n_videos)
+    steps = stores[0].num_samples // cfg.data.batch_size
+    mesh = Mesh(np.asarray(jax.devices()), ("video",))
+    videos = shard_suite(jnp.stack([s.frames for s in stores]), mesh)
+    t_all = shard_suite(
+        jnp.asarray(np.stack([s.t for s in stores]), jnp.float32), mesh
+    )
+    states = shard_suite(
+        init_suite_states(jax.random.PRNGKey(1), cfg, n_videos), mesh
+    )
+    epoch_fn = make_suite_epoch_fn(cfg, steps, mesh=mesh, with_msssim=False)
+    first = last = None
+    for epoch in range(cfg.epochs):
+        states, m = run_suite_epoch(
+            states, epoch_fn, videos, t_all, cfg, epoch, steps, mesh
+        )
+        if first is None:
+            first = m["loss"].copy()
+        last = m["loss"]
+    assert np.isfinite(last).all()
+    assert (last < first).all()
+
+
+def test_suite_cli_sequential_writes_json(tmp_path):
+    """The CLI driver end-to-end (sequential, 2 tiny videos, prune+quant):
+    per-video PSNR/BPP rows plus aggregate means land in the JSON."""
+    from repnerv_tpu.cli.suite_main import main
+
+    out = tmp_path / "suite.json"
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = main(
+            [
+                "--dataset", "synth", "--synthetic_frames", "8",
+                "--synthetic_hw", "8", "8", "--embed", "1.25_8",
+                "--stem_dim_num", "16_1", "--fc_hw_dim", "2_2_4",
+                "--expansion", "1", "--strides", "2", "2",
+                "--lower_width", "4", "-e", "4", "-b", "4",
+                "--lr", "5e-3", "--loss", "L2", "--act", "swish",
+                "--single_res", "--branch_type", "ERB",
+                "--prune_ratio", "0.5", "--quant_bit", "8",
+                "--n_videos", "2", "--suite_out", str(out),
+            ]
+        )
+    finally:
+        os.chdir(cwd)
+    assert out.exists()
+    saved = json.loads(out.read_text())
+    assert saved["n_videos"] == 2 and len(saved["videos"]) == 2
+    for row in saved["videos"]:
+        assert np.isfinite(row["psnr"]) and row["bpp"] > 0
+    assert saved["mean_psnr"] == pytest.approx(
+        np.mean([r["psnr"] for r in saved["videos"]])
+    )
+    assert result["mean_bpp"] > 0
+
+
+def test_suite_cli_parallel_mode(tmp_path):
+    """Parallel mode over the 8-device mesh through the CLI."""
+    from repnerv_tpu.cli.suite_main import main
+
+    out = tmp_path / "suite.json"
+    result = main(
+        [
+            "--dataset", "synth", "--synthetic_frames", "8",
+            "--synthetic_hw", "8", "8", "--embed", "1.25_8",
+            "--stem_dim_num", "16_1", "--fc_hw_dim", "2_2_4",
+            "--expansion", "1", "--strides", "2", "2",
+            "--lower_width", "4", "-e", "4", "-b", "4",
+            "--lr", "5e-3", "--loss", "L2", "--act", "swish",
+            "--single_res", "--branch_type", "NeRV_vanilla",
+            "--n_videos", "8", "--suite_mode", "parallel",
+            "--suite_out", str(out),
+        ]
+    )
+    assert result["mode"] == "parallel" and len(result["videos"]) == 8
+    assert all(np.isfinite(r["psnr"]) for r in result["videos"])
