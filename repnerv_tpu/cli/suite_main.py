@@ -148,11 +148,13 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         vkeys = jax.random.split(
             jax.random.PRNGKey(cfg.manual_seed), len(stores)
         )
+        # one jitted epoch fn for every video (identical shapes — no
+        # per-video retrace/recompile)
+        epoch_fn = make_epoch_fn(cfg, steps, with_msssim=with_msssim)
         for v, store in enumerate(stores):
             state = init_train_state(vkeys[v], cfg)
             # per-video seed offset matches parallel/suite.py suite_perms
             vcfg = dataclasses.replace(cfg, manual_seed=cfg.manual_seed + v)
-            epoch_fn = make_epoch_fn(cfg, steps, with_msssim=with_msssim)
             for epoch in range(cfg.epochs):
                 state, m = run_fused_epoch(
                     state, epoch_fn, store, vcfg, epoch

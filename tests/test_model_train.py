@@ -145,6 +145,40 @@ def test_synthetic_video_deterministic():
     np.testing.assert_allclose(t1, [0, 0.25, 0.5, 0.75])
 
 
+def test_photo_video_real_content():
+    """``--dataset photo``: deterministic pan over a real photograph with
+    far more high-frequency energy than the synthetic texture (the
+    real-content quality-evidence clip, data/frames.py photo_video)."""
+    from repnerv_tpu.data.frames import make_frame_store, photo_video
+    from repnerv_tpu.config import DataConfig
+
+    f1, t1 = photo_video(4, 48, 64, seed=1)
+    f2, _ = photo_video(4, 48, 64, seed=1)
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape == (4, 48, 64, 3) and f1.dtype == np.uint8
+    np.testing.assert_allclose(t1, [0, 0.25, 0.5, 0.75])
+
+    def lap_energy(img):
+        g = img.astype(np.float32).mean(-1)
+        return np.abs(
+            4 * g[1:-1, 1:-1]
+            - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+        ).mean()
+
+    # at real resolutions the photo carries far more high-frequency energy
+    # than the synthetic texture (at tiny sizes the comparison inverts:
+    # the noise octaves scale with resolution, photo crops downscale smooth)
+    photo_hi, _ = photo_video(1, 240, 320)
+    synth_hi, _ = synthetic_video(1, 240, 320)
+    assert lap_energy(photo_hi[0]) > 2 * lap_energy(synth_hi[0])
+
+    store = make_frame_store(
+        DataConfig(dataset="photo", synthetic_frames=3, synthetic_hw=(16, 16),
+                   cache_device=False)
+    )
+    assert store.frames.shape == (3, 16, 16, 3)
+
+
 def test_frame_store_gap_sampling():
     frames, t = synthetic_video(10, 4, 4)
     store = FrameStore(frames=frames, t=t, frame_gap=2)
