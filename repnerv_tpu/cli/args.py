@@ -112,6 +112,9 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16", "mixed"])
     p.add_argument("--no_online_fuse", action="store_true")
     p.add_argument("--no_pallas_decode", action="store_true")
+    p.add_argument("--no_pallas_train", action="store_true",
+                   help="disable the fused Pallas training forward for "
+                   "trailing stages (b=1 step speed, train_tail.py)")
     p.add_argument(
         "--codec", default="huffman", choices=["huffman", "rans"],
         help="entropy coder for BPP accounting: huffman (reference parity) "
@@ -159,6 +162,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         compute_dtype=a.compute_dtype,
         online_fuse=not a.no_online_fuse,
         use_pallas_decode=not a.no_pallas_decode,
+        use_pallas_train=not getattr(a, "no_pallas_train", False),
         decode_int8=getattr(a, "decode_int8", False),
         int8_from_block=getattr(a, "int8_from_block", -2),
         remat=a.remat,

@@ -57,6 +57,9 @@ class ModelConfig:
     #  convergence — see models/layers.py mxu_conv2d_f32)
     online_fuse: bool = True  # run one fused conv per block instead of branch-sum
     use_pallas_decode: bool = True  # fused Pallas conv+PS+act(+head) decode kernel
+    use_pallas_train: bool = True  # fused Pallas TRAIN forward for trailing
+    # stages (custom VJP, pallas_kernels/train_tail.py) — kills the b=1
+    # layout-copy collapse of the XLA PS+act(+head) tail (round-3 profile)
     decode_int8: bool = False  # int8 MXU decode for the trailing blocks (2x bf16
     # MXU rate on v5e); needs calibrate_int8() scales in the deploy params
     int8_from_block: int = -2  # first int8 block, counted from the end (the

@@ -171,6 +171,49 @@ def apply_generator(
                     return outputs
                 block_idx += 1
                 continue
+            use_ptrain = (
+                cfg.use_pallas_train
+                and train
+                # only the small-batch regime wins: at b=1 the XLA tail
+                # collapses into layout copies (34.5 -> 28 ms/step with the
+                # kernel) but at b=8 XLA's batched graph is already
+                # efficient and the kernel path measured 1.7x SLOWER
+                and x.shape[0] <= 2
+                and cfg.norm == "none"
+                and cfg.online_fuse
+                and not cfg.remat
+                and cfg.compute_dtype != "mixed"
+                and x.shape[1] * x.shape[2] >= PALLAS_MIN_PIXELS
+                and (not PALLAS_REQUIRE_TPU or jax.default_backend() == "tpu")
+            )
+            if use_ptrain:
+                from ..pallas_kernels.train_tail import fused_stage_train
+                from . import reparam
+
+                if "rbr_reparam" in bparams:
+                    wt = bparams["rbr_reparam"]["w"]
+                    bt = bparams["rbr_reparam"].get("b")
+                else:
+                    wt, bt = reparam.fuse(cfg.branch_type, bparams)
+                if bt is None:
+                    bt = jnp.zeros((wt.shape[-1],), wt.dtype)
+                fuse_head = is_last_block and head is not None
+                x = fused_stage_train(
+                    x,
+                    wt,
+                    bt,
+                    head["w"] if fuse_head else None,
+                    head.get("b") if fuse_head else None,
+                    stride,
+                    cfg.act,
+                    "sigmoid" if cfg.sigmoid else "tanh",
+                    "float32" if cfg.compute_dtype == "float32" else "bfloat16",
+                )
+                if fuse_head:
+                    outputs.append(x.astype(jnp.float32))
+                    return outputs
+                block_idx += 1
+                continue
             block_fn = lambda p, xx: apply_block(  # noqa: E731
                 p,
                 xx,
