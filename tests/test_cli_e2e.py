@@ -138,6 +138,40 @@ def test_eval_cli_prune_quant(trained_dir, path_a):
         assert im.shape == (72, 96, 3)
 
 
+def test_train_cli_mesh_writes_checkpoints(tmp_path):
+    """The full train CLI over a 4-device data mesh (virtual CPU devices):
+    sharded whole-epoch scan + the deferred best-checkpoint flush must
+    produce the same file surface as the single-device path, and the
+    resulting checkpoint must load.  Covers run_training's mesh branch
+    (cli/train_main.py) that unit sharding tests bypass."""
+    from repnerv_tpu.cli import train_main
+    from repnerv_tpu.config import TrainConfig
+    from repnerv_tpu.train import checkpoint as ckpt
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        train_main.main(
+            SMOKE_ARGS[:-2]
+            + ["--suffix", "mesh", "-e", "3", "--mesh_shape", "4"]
+        )
+    finally:
+        os.chdir(cwd)
+    outf = tmp_path / "result" / "e2e" / "mesh"
+    for name in [
+        "model_latest.pth",
+        "model_train_best.pth",
+        "model_latest_deploy.pth",
+    ]:
+        assert (outf / name).exists(), name
+    assert (outf / "orbax_latest").is_dir()
+    cfg = TrainConfig.from_json((outf / "config.json").read_text())
+    params, extra = ckpt.load_pth(str(outf / "model_latest.pth"), cfg.model)
+    assert extra["epoch"] == 3
+    log = (outf / "rank0.txt").read_text()
+    assert log.count("Epoch[3/3]") == 1
+
+
 def test_psnr_rises_over_training(tmp_path):
     """The product claim: the CLI fits a video (PSNR strictly improves)."""
     from repnerv_tpu.cli import train_main
