@@ -18,8 +18,10 @@ PSNR/MS-SSIM/BPP table lands in ``--suite_out`` (default
 ``results/uvg_suite.json``).
 
 Synthetic stand-ins: with ``--dataset synth`` each video v draws its own
-deterministic content (seed = manual_seed + v); with a real frame dir the
-``--vid`` subsets select the videos, one fit per subset entry.
+deterministic content (seed = manual_seed + v); ``--dataset photo`` gives
+each video a distinct rotation/mirror + camera path over real photographic
+texture (data/frames.py photo_video); with a real frame dir the ``--vid``
+subsets select the videos, one fit per subset entry.
 """
 
 from __future__ import annotations
@@ -36,7 +38,12 @@ import jax.numpy as jnp
 
 from ..compress.pipeline import compress
 from ..config import TrainConfig
-from ..data.frames import FrameStore, make_frame_store, synthetic_video
+from ..data.frames import (
+    FrameStore,
+    make_frame_store,
+    photo_video,
+    synthetic_video,
+)
 from ..models.generator import generator_to_deploy
 from ..train.loop import (
     init_train_state,
@@ -50,9 +57,12 @@ def _suite_stores(cfg: TrainConfig, n_videos: int) -> list:
     """One FrameStore per video."""
     stores = []
     if cfg.data.dataset == "synth" or cfg.data.synthetic_frames > 0:
+        # photo -> distinct content transform + camera path per seed
+        # (data/frames.py photo_video); synth -> distinct value-noise draw
+        gen = photo_video if cfg.data.dataset == "photo" else synthetic_video
         h, w = cfg.data.synthetic_hw
         for v in range(n_videos):
-            frames, t = synthetic_video(
+            frames, t = gen(
                 cfg.data.synthetic_frames, h, w, seed=cfg.manual_seed + v
             )
             stores.append(

@@ -200,6 +200,14 @@ def photo_video(
     photo = np.asarray(
         Image.open(cbook.get_sample_data("grace_hopper.jpg", asfileobj=False))
     )
+    # seed-keyed content transform so a multi-video suite (suite_main.py,
+    # one seed per video) gets distinct content, not just distinct camera
+    # paths: rotation / mirror of the source photo before tiling.  seed 0
+    # is the identity — single-video `--dataset photo` runs are unchanged.
+    if seed % 4:
+        photo = np.rot90(photo, k=seed % 4)
+    if (seed // 4) % 2:
+        photo = photo[:, ::-1]
     # mirror-tile until the canvas covers the largest crop window
     max_zoom = 1.25
     need_h = int(h * max_zoom) + photo.shape[0]

@@ -172,6 +172,12 @@ def test_photo_video_real_content():
     synth_hi, _ = synthetic_video(1, 240, 320)
     assert lap_energy(photo_hi[0]) > 2 * lap_energy(synth_hi[0])
 
+    # suite diversity: seeds give distinct CONTENT (rotation/mirror of the
+    # source photo, suite_main.py one seed per video), not just camera paths
+    f_s0, _ = photo_video(1, 64, 64, seed=0)
+    f_s1, _ = photo_video(1, 64, 64, seed=1)
+    assert np.abs(f_s0.astype(int) - f_s1.astype(int)).mean() > 5
+
     store = make_frame_store(
         DataConfig(dataset="photo", synthetic_frames=3, synthetic_hw=(16, 16),
                    cache_device=False)
