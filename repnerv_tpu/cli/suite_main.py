@@ -38,12 +38,7 @@ import jax.numpy as jnp
 
 from ..compress.pipeline import compress
 from ..config import TrainConfig
-from ..data.frames import (
-    FrameStore,
-    make_frame_store,
-    photo_video,
-    synthetic_video,
-)
+from ..data.frames import FrameStore, photo_video, synthetic_video
 from ..models.generator import generator_to_deploy
 from ..train.loop import (
     init_train_state,
@@ -54,9 +49,19 @@ from .args import args_to_config, build_parser
 
 
 def _suite_stores(cfg: TrainConfig, n_videos: int) -> list:
-    """One FrameStore per video."""
+    """One FrameStore per video.
+
+    Real data: a dataset directory whose entries are PER-VIDEO
+    SUBDIRECTORIES of frames (the reference's UVG layout — one frame dir
+    per video, one ``main_train.py`` invocation each, README.md:63-111)
+    maps one subdirectory to one suite video.  A FLAT directory of frames
+    is split into ``n_videos`` contiguous chunks of the ``--vid``-selected
+    (or all) frames, each chunk one video.
+    """
     stores = []
-    if cfg.data.dataset == "synth" or cfg.data.synthetic_frames > 0:
+    if cfg.data.dataset == "synth" or (
+        cfg.data.dataset == "photo" and cfg.data.synthetic_frames > 0
+    ):
         # photo -> distinct content transform + camera path per seed
         # (data/frames.py photo_video); synth -> distinct value-noise draw
         gen = photo_video if cfg.data.dataset == "photo" else synthetic_video
@@ -68,15 +73,60 @@ def _suite_stores(cfg: TrainConfig, n_videos: int) -> list:
             stores.append(
                 FrameStore(jnp.asarray(frames), t, cfg.data.frame_gap)
             )
+        return stores
+
+    from ..data.frames import load_frame_dir
+
+    root = os.path.join(cfg.data.data_dir, cfg.data.dataset.lower())
+    subdirs = sorted(
+        d
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if os.path.isdir(os.path.join(root, d))
+    )
+    if subdirs:
+        if len(subdirs) < n_videos:
+            raise FileNotFoundError(
+                f"{root} has {len(subdirs)} video subdirectories, "
+                f"--n_videos {n_videos} requested"
+            )
+        for name in subdirs[:n_videos]:
+            # --vid keeps its reference meaning WITHIN each video's dir
+            frames, t = load_frame_dir(
+                os.path.join(root, name), cfg.data.vid
+            )
+            stores.append(
+                FrameStore(
+                    jnp.asarray(frames) if cfg.data.cache_device else frames,
+                    t,
+                    cfg.data.frame_gap,
+                )
+            )
     else:
-        for v in range(n_videos):
-            d = dataclasses.replace(cfg.data, vid=(v,))
-            stores.append(make_frame_store(d, split="train"))
+        frames, t = load_frame_dir(root, cfg.data.vid)
+        if len(frames) < n_videos:
+            raise ValueError(
+                f"{len(frames)} frames cannot form {n_videos} suite videos"
+            )
+        for chunk in np.array_split(np.arange(len(frames)), n_videos):
+            arr = frames[chunk]
+            stores.append(
+                FrameStore(
+                    jnp.asarray(arr) if cfg.data.cache_device else arr,
+                    t[chunk],
+                    cfg.data.frame_gap,
+                )
+            )
     return stores
 
 
-def _measure_video(params, store, cfg: TrainConfig, v: int) -> dict:
-    """Deploy -> (optional) compress -> PSNR/MS-SSIM/BPP for one video."""
+def _measure_video(
+    params, store, cfg: TrainConfig, v: int, eval_steps: dict | None = None
+) -> dict:
+    """Deploy -> (optional) compress -> PSNR/MS-SSIM/BPP for one video.
+
+    ``eval_steps`` memoizes the jitted eval fn across videos — suite videos
+    share shapes and config, so without it each video recompiles an
+    identical eval graph."""
     reparam = cfg.model.branch_type != "NeRV_vanilla"
     mcfg = cfg.model
     if reparam:
@@ -90,9 +140,12 @@ def _measure_video(params, store, cfg: TrainConfig, v: int) -> dict:
 
     ecfg = dataclasses.replace(cfg, model=mcfg)
     with_msssim = min(store.hw) > 160
-    psnr, msssim = evaluate(
-        params, make_eval_step(ecfg, with_msssim), store, ecfg
-    )
+    key = (mcfg.deploy, with_msssim)
+    if eval_steps is None:
+        eval_steps = {}
+    if key not in eval_steps:
+        eval_steps[key] = make_eval_step(ecfg, with_msssim)
+    psnr, msssim = evaluate(params, eval_steps[key], store, ecfg)
     row.update(psnr=float(psnr[-1]), msssim=float(msssim[-1]))
     return row
 
@@ -178,8 +231,9 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
             )
 
     fit_s = time.time() - t0
+    eval_steps: dict = {}
     rows = [
-        _measure_video(p, s, cfg, v)
+        _measure_video(p, s, cfg, v, eval_steps)
         for v, (p, s) in enumerate(zip(per_video_params, stores))
     ]
     result = {

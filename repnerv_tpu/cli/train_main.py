@@ -155,6 +155,13 @@ def run_training(cfg: TrainConfig) -> dict:
     else:
         train_step = make_train_step(cfg, steps_per_epoch, with_msssim=with_msssim)
     eval_step = make_eval_step(cfg, with_msssim=with_msssim)
+    # built once: a fresh make_video_decode_fn per eval epoch would retrace
+    # the whole-video scan on every eval (incl. each of the final 10 epochs)
+    fps_decode_all = None
+    if cfg.eval_fps:
+        from ..train.loop import make_video_decode_fn
+
+        fps_decode_all = make_video_decode_fn(cfg, keep_frames=False)
     # On-device snapshot for deferred best-checkpoint writes: +0 under jit
     # forces fresh output buffers (outputs never alias inputs without
     # donation), so the copy survives the next epoch's donated update.
@@ -238,8 +245,6 @@ def run_training(cfg: TrainConfig) -> dict:
                 # val set decodes per rep and a scalar fetch forces
                 # completion, which block_until_ready does not on tunneled
                 # backends)
-                from ..train.loop import make_video_decode_fn
-
                 n_frames = val_store.num_samples if max_steps is None else min(
                     val_store.num_samples, max_steps * cfg.data.batch_size
                 )
@@ -249,7 +254,7 @@ def run_training(cfg: TrainConfig) -> dict:
                     val_store.t[val_store.sample_indices()[: nb * bsz]],
                     jnp.float32,
                 ).reshape(nb, bsz)
-                decode_all = make_video_decode_fn(cfg, keep_frames=False)
+                decode_all = fps_decode_all
                 float(jnp.sum(decode_all(state.params, t_mat)))  # compile
                 reps = 3
                 fps_t0 = time.perf_counter()

@@ -29,7 +29,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import struct
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -53,18 +53,24 @@ def write_bitstream(
     quant_bit: int,
     quant_axis: int = 0,
     codec: str = "huffman",
+    precomputed: Optional[Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]] = None,
 ) -> Dict[str, float]:
     """Quantize ``params`` (reference grouping semantics) and write the
     artifact.  Returns accounting: file bytes, payload bits, symbol count.
 
     Deterministic: running this on the pre-quantization params produces an
     artifact whose decode equals ``compress()``'s dequantized output exactly
-    (same quantize_state call).
+    (same quantize_state call).  ``precomputed`` lets the pipeline pass the
+    ``(state, codes, qparams)`` its own quantize_state call just produced so
+    the per-channel host sweep is not repeated.
     """
-    from ..train.checkpoint import params_to_torch_state
+    if precomputed is not None:
+        state, codes, qparams = precomputed
+    else:
+        from ..train.checkpoint import params_to_torch_state
 
-    state = params_to_torch_state(params, mcfg)
-    _, codes, nonzero_codes, qparams = quantize_state(state, quant_bit, quant_axis)
+        state = params_to_torch_state(params, mcfg)
+        _, codes, _, qparams = quantize_state(state, quant_bit, quant_axis)
 
     keys = list(state.keys())
     all_nonzero = (

@@ -66,17 +66,11 @@ class HuffmanCodec:
                 lengths[node] = max(depth, 1)
 
         walk(heap[0][2], 0)
-        # canonical code assignment: sort by (length, symbol)
-        table: Dict[float, Tuple[int, int]] = {}
-        code = 0
-        prev_len = 0
-        for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
-            ln = lengths[sym]
-            code <<= ln - prev_len
-            table[sym] = (ln, code)
-            code += 1
-            prev_len = ln
-        return cls(table)
+        # ONE canonical-assignment implementation: the encoder and the
+        # bitstream decoder (from_lengths) must agree bit-for-bit, so
+        # from_frequencies ends in the same code path the artifact reader
+        # uses rather than duplicating the assignment loop.
+        return cls.from_lengths(lengths)
 
     @classmethod
     def from_data(cls, data: Iterable) -> "HuffmanCodec":

@@ -126,7 +126,8 @@ def quantize_params(
     frame_hw=None,
     n_frames=0,
     model_cfg=None,
-) -> Params:
+    return_qdata: bool = False,
+):
     """Quantize every tensor with REFERENCE grouping semantics, gather
     nonzero codes, compute entropy stats/BPP, and return the dequantized
     params (main_eval.py:652-729).
@@ -141,12 +142,12 @@ def quantize_params(
     kernels by KERNEL ROW; fixed per VERDICT r2 missing #1.)
     """
     if cfg.quant_bit == -1:
-        return params
+        return (params, None) if return_qdata else params
     from ..train.checkpoint import params_to_torch_state, torch_state_to_params
 
     mcfg = model_cfg if model_cfg is not None else cfg.model
     state = params_to_torch_state(params, mcfg)
-    dequant, _, nonzero_codes, _ = quantize_state(
+    dequant, all_codes, nonzero_codes, qparams = quantize_state(
         state, cfg.quant_bit, cfg.quant_axis
     )
     codes = (
@@ -165,7 +166,12 @@ def quantize_params(
     report.num_symbols = int(stats["num_symbols"])
     if frame_hw is not None and n_frames:
         report.bpp = bits_per_pixel(stats["total_bits"], n_frames, *frame_hw)
-    return torch_state_to_params(dequant, mcfg)
+    out = torch_state_to_params(dequant, mcfg)
+    if return_qdata:
+        # hand (state, codes, qparams) to write_bitstream so the artifact
+        # writer does not repeat this function's per-channel host sweep
+        return out, (state, all_codes, qparams)
+    return out
 
 
 def compress(
@@ -206,7 +212,9 @@ def compress(
     hw = store.hw if store is not None else None
     n = store.frames.shape[0] if store is not None else 0
     prequant = params
-    params = quantize_params(params, cfg, report, frame_hw=hw, n_frames=n)
+    params, qdata = quantize_params(
+        params, cfg, report, frame_hw=hw, n_frames=n, return_qdata=True
+    )
     if bitstream_path and cfg.quant_bit != -1:
         from .bitstream import all_in_bpp, write_bitstream
 
@@ -214,7 +222,7 @@ def compress(
         mcfg = dc.replace(cfg.model, deploy=cfg.model.deploy or deployed)
         acct = write_bitstream(
             bitstream_path, prequant, mcfg, cfg.quant_bit, cfg.quant_axis,
-            cfg.codec,
+            cfg.codec, precomputed=qdata,
         )
         if hw is not None and n:
             acct["bpp_all_in"] = all_in_bpp(acct["file_bytes"], n, *hw)

@@ -33,9 +33,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import TrainConfig
-from ..models.embedding import positional_encoding
-from ..models.generator import apply_generator
-from ..ops.metrics import msssim_fn, psnr_fn
 from ..train.loop import TrainState, build_train_step_fn, init_train_state
 
 Params = Dict[str, Any]
@@ -113,16 +110,24 @@ def suite_perms(
     steps_per_epoch: int,
     epoch: int,
 ) -> np.ndarray:
-    """Per-video shuffled batch matrices [V, steps, B].  Seeds match the
-    sequential driver's (loop.run_fused_epoch uses seed*100003+epoch with
-    the suite adding a per-video offset), so parallel == sequential."""
+    """Per-video shuffled batch matrices [V, steps, B].  Seeds AND index
+    sets match the sequential driver's: loop.run_fused_epoch shuffles the
+    gap-strided ``FrameStore.sample_indices()`` (= arange(N//gap)*gap) with
+    seed*100003+epoch, the suite adds a per-video seed offset — so parallel
+    == sequential for every ``frame_gap``, and test-gap frames never leak
+    into training."""
     b = cfg.data.batch_size
+    gap = cfg.data.frame_gap
+    n_samples = n_frames // gap
     out = np.empty((n_videos, steps_per_epoch, b), np.int32)
     for v in range(n_videos):
         rng = np.random.default_rng(
             (cfg.manual_seed + v) * 100003 + epoch
         )
-        idx = rng.permutation(n_frames)
+        # rng.permutation(n) draws identically to rng.shuffle(arange(n)),
+        # so scaling by gap reproduces run_fused_epoch's shuffled
+        # sample_indices() exactly
+        idx = rng.permutation(n_samples) * gap
         out[v] = idx[: steps_per_epoch * b].reshape(steps_per_epoch, b)
     return out
 
@@ -154,33 +159,6 @@ def run_suite_epoch(
     if "msssim" in aux:
         metrics["msssim"] = np.asarray(aux["msssim"]).mean(axis=1)
     return states, metrics
-
-
-def make_suite_eval_fn(cfg: TrainConfig, *, with_msssim: bool = True):
-    """Vmapped whole-suite eval: (params, videos_u8, rows [V,nb,B], t_all
-    [V,N]) -> per-video per-stage (psnr, msssim) means."""
-    mcfg = cfg.model
-
-    def one_video(params, video_u8, rows, t_all):
-        def body(_, r):
-            frames = video_u8[r].astype(jnp.float32) / 255.0
-            embed = positional_encoding(t_all[r], mcfg.embed)
-            outs = apply_generator(params, embed, mcfg, train=False)
-            from ..data.frames import adaptive_avg_pool
-
-            targets = [adaptive_avg_pool(frames, o.shape[1:3]) for o in outs]
-            p = jnp.mean(psnr_fn(outs, targets), axis=0)
-            m = (
-                jnp.mean(msssim_fn(outs, targets), axis=0)
-                if with_msssim
-                else jnp.zeros_like(p)
-            )
-            return None, (p, m)
-
-        _, (p, m) = jax.lax.scan(body, None, rows)
-        return p.mean(axis=0), m.mean(axis=0)
-
-    return jax.jit(jax.vmap(one_video))
 
 
 def extract_video_params(states: TrainState, v: int) -> Params:

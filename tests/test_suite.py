@@ -107,6 +107,30 @@ def test_suite_perms_match_sequential_shuffles():
         )
 
 
+def test_suite_perms_respect_frame_gap():
+    """With frame_gap > 1 suite_perms shuffles the gap-strided
+    sample_indices() exactly as run_fused_epoch does — the parallel mode
+    must never train on the reference's held-out test-gap frames."""
+    cfg = tiny_train()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, frame_gap=2)
+    )
+    n_frames, steps = 16, 2
+    perms = suite_perms(cfg, 2, n_frames, steps, epoch=3)
+    b = cfg.data.batch_size
+    for v in range(2):
+        # sequential reference: shuffle FrameStore.sample_indices()
+        store = FrameStore(np.zeros((n_frames, 1, 1, 3), np.uint8),
+                           np.arange(n_frames, dtype=np.float32), 2)
+        idx = store.sample_indices()
+        rng = np.random.default_rng((cfg.manual_seed + v) * 100003 + 3)
+        rng.shuffle(idx)
+        np.testing.assert_array_equal(
+            perms[v], idx[: steps * b].reshape(steps, b)
+        )
+        assert (perms[v] % 2 == 0).all()  # only train-gap frames
+
+
 def test_suite_parallel_trains_each_video():
     """Every video's loss decreases over epochs of the parallel fit."""
     n_videos = 8
