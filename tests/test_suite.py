@@ -158,6 +158,61 @@ def test_suite_parallel_trains_each_video():
     assert (last < first).all()
 
 
+def test_suite_stores_real_dir_layouts(tmp_path):
+    """Real-data suite semantics: a dataset dir of per-video SUBDIRECTORIES
+    maps one subdir per video (the reference's UVG layout — one frame dir
+    per video, reference README.md:63-111); a FLAT frame dir splits into
+    n_videos contiguous chunks."""
+    from PIL import Image
+
+    from repnerv_tpu.cli.suite_main import _suite_stores
+    from repnerv_tpu.config import DataConfig
+
+    # subdir layout: 2 videos x 4 frames, pixel value encodes (video, frame)
+    root = tmp_path / "uvgtiny"
+    for v in range(2):
+        d = root / f"vid{v}"
+        d.mkdir(parents=True)
+        for n in range(4):
+            img = np.full((8, 10, 3), 40 * v + n, np.uint8)
+            Image.fromarray(img).save(d / f"f{n:02d}.png")
+    cfg = tiny_train()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, dataset="uvgtiny", data_dir=str(tmp_path),
+            synthetic_frames=0, cache_device=False,
+        ),
+    )
+    stores = _suite_stores(cfg, 2)
+    assert len(stores) == 2
+    for v, s in enumerate(stores):
+        assert s.frames.shape == (4, 8, 10, 3)
+        np.testing.assert_array_equal(
+            np.asarray(s.frames)[:, 0, 0, 0], 40 * v + np.arange(4)
+        )
+
+    # flat layout: 6 frames -> 2 videos of 3 contiguous frames
+    flat = tmp_path / "flattiny"
+    flat.mkdir()
+    for n in range(6):
+        Image.fromarray(np.full((8, 10, 3), n, np.uint8)).save(
+            flat / f"f{n:02d}.png"
+        )
+    cfg2 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, dataset="flattiny")
+    )
+    stores2 = _suite_stores(cfg2, 2)
+    np.testing.assert_array_equal(
+        np.asarray(stores2[0].frames)[:, 0, 0, 0], [0, 1, 2]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stores2[1].frames)[:, 0, 0, 0], [3, 4, 5]
+    )
+    # t stays normalized over the FULL flat sequence (reference model.py:37)
+    assert stores2[1].t[0] == pytest.approx(3 / 6)
+
+
 def test_suite_cli_sequential_writes_json(tmp_path):
     """The CLI driver end-to-end (sequential, 2 tiny videos, prune+quant):
     per-video PSNR/BPP rows plus aggregate means land in the JSON."""
