@@ -88,6 +88,12 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
             help="'reference' continues the stale cosine past its end "
             "(lr~0, main_eval.py:447,472) for exact A/B parity",
         )
+        p.add_argument(
+            "--qat", action="store_true", default=False,
+            help="quantization-aware finetune: train through the fake "
+            "quantizer so post-finetune quantization is (near-)lossless; "
+            "reparam branches deploy before the finetune (compress/qat.py)",
+        )
 
     # distributed (TPU mesh replaces torch.distributed)
     p.add_argument("--manualSeed", type=int, default=1)
@@ -205,6 +211,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         finetune=getattr(a, "finetune", False),
         finetune_epochs=getattr(a, "finetune_epochs", 100),
         finetune_lr_mode=getattr(a, "finetune_lr_mode", "fresh"),
+        finetune_qat=getattr(a, "qat", False),
         codec=getattr(a, "codec", "huffman"),
         save_bitstream=getattr(a, "save_bitstream", False),
         lr_frac_mode=a.lr_frac_mode,

@@ -39,8 +39,11 @@ def run_eval(cfg: TrainConfig) -> dict:
     val_store = dataclasses.replace(store, frame_gap=cfg.data.test_gap)
 
     reparam = cfg.model.branch_type != "NeRV_vanilla"
-    # checkpoint selection (main_eval.py:214-237, 551-611)
-    if reparam and not cfg.finetune:
+    # checkpoint selection (main_eval.py:214-237, 551-611).  QAT finetunes
+    # the DEPLOY tensors (the ones the quantizer sees, compress/qat.py), so
+    # --finetune --qat loads the deploy checkpoint like PATH B does.
+    qat = cfg.finetune and cfg.finetune_qat and cfg.quant_bit != -1
+    if reparam and (not cfg.finetune or qat):
         path = os.path.join(outf, "model_latest_deploy.pth")
         load_cfg = dataclasses.replace(cfg.model, deploy=True)
     else:
@@ -212,7 +215,7 @@ def run_eval(cfg: TrainConfig) -> dict:
         result["bitstream_bytes"] = report.extras["bitstream"]["file_bytes"]
         result["bpp_all_in"] = report.extras["bitstream"].get("bpp_all_in", 0.0)
     fname = (
-        f"finetune_e{cfg.finetune_epochs}_pr{cfg.prune_ratio:.2f}_q{cfg.quant_bit if cfg.quant_bit != -1 else 'none'}.txt"
+        f"finetune{'_qat' if qat else ''}_e{cfg.finetune_epochs}_pr{cfg.prune_ratio:.2f}_q{cfg.quant_bit if cfg.quant_bit != -1 else 'none'}.txt"
         if cfg.finetune
         else f"only_prune{cfg.prune_ratio:.2f}_quant{cfg.quant_bit if cfg.quant_bit > 0 else 'full'}.txt"
     )

@@ -94,6 +94,10 @@ def finetune(
       args.epochs the cosine is evaluated past pi and lr_mult stays ≈ 0 —
       the reference's finetune barely updates.  Kept behind this flag for
       exact A/B parity runs.
+
+    With ``cfg.finetune_qat`` (and quantization on) the forward trains
+    through the straight-through fake quantizer (compress/qat.py), so the
+    subsequent ``quantize_params`` is (near-)lossless.
     """
     import dataclasses as dc
 
@@ -104,7 +108,16 @@ def finetune(
     else:
         ft_cfg = dc.replace(cfg, epochs=cfg.finetune_epochs)
         step0 = 0
-    train_step = make_train_step(ft_cfg, steps_per_epoch, with_msssim=False)
+    param_transform = None
+    if cfg.finetune_qat and cfg.quant_bit != -1:
+        from .qat import make_fake_quant
+
+        param_transform = make_fake_quant(cfg.quant_bit, cfg.quant_axis)
+        report.extras["qat"] = True
+    train_step = make_train_step(
+        ft_cfg, steps_per_epoch, with_msssim=False,
+        param_transform=param_transform,
+    )
     tx = make_optimizer(cfg)
     # copy: the jitted step donates the state's buffers, and the caller's
     # params must survive the fine-tune (they are not ours to delete)
@@ -196,12 +209,29 @@ def compress(
     the returned dequantized params bit-exactly (compress/bitstream.py uses
     the same quantize_state call) — and ``report.extras["bitstream"]`` gains
     the on-disk accounting incl. the all-in BPP.
+
+    With ``cfg.finetune_qat`` the finetune trains through the fake quantizer
+    (compress/qat.py).  For reparam branches the deploy switch then moves
+    UP-FRONT: QAT must see the fused ``rbr_reparam`` tensors the final
+    quantizer operates on, not the branch weights — so the pipeline becomes
+    deploy -> prune (PATH-B target set) -> QAT finetune -> quantize, a
+    training-after-deploy path the reference's destructive
+    ``switch_to_deploy`` cannot express (reference model.py:245-265).
     """
     import dataclasses as dc
 
     report = CompressionReport()
+    qat = cfg.finetune and cfg.finetune_qat and cfg.quant_bit != -1
+    if (
+        qat
+        and deploy_after
+        and cfg.model.branch_type != "NeRV_vanilla"
+        and not cfg.model.deploy
+    ):
+        params, mcfg = generator_to_deploy(params, cfg.model)
+        cfg = dc.replace(cfg, model=mcfg)
     params, masks = prune_params(params, cfg, report)
-    if cfg.finetune and cfg.prune_ratio < 1.0:
+    if cfg.finetune and (cfg.prune_ratio < 1.0 or qat):
         assert store is not None, "finetune requires a frame store"
         params = finetune(
             params, masks, cfg, store, report, max_steps_per_epoch,

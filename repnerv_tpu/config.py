@@ -134,6 +134,13 @@ class TrainConfig:
     quant_axis: int = 0
     finetune: bool = False
     finetune_epochs: int = 100
+    finetune_qat: bool = False  # quantization-aware finetune: the forward
+    # trains through a straight-through fake quantizer matching the final
+    # quantize_params semantics, so post-finetune quantization is
+    # (near-)lossless; reparam branches deploy BEFORE the finetune so the
+    # fused rbr_reparam tensors are the ones adapted (compress/qat.py —
+    # capability beyond the reference, whose switch_to_deploy is
+    # destructive and untrainable)
     dump_images: bool = False
     codec: str = "huffman"  # entropy coder for the BPP accounting/bitstream:
     # "huffman" (reference dahuffman parity, main_eval.py:673-698) or "rans"

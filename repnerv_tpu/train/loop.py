@@ -68,11 +68,19 @@ def _apply_mask(tree, masks):
 
 
 def build_train_step_fn(
-    cfg: TrainConfig, steps_per_epoch: int, with_msssim: bool = True
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    with_msssim: bool = True,
+    param_transform=None,
 ):
     """The raw (unjitted) train step:
     (state, frames [B,H,W,3] f32, t [B], masks|None) -> (state, aux dict).
     ``make_train_step`` jits it; parallel/sharding.py jits it over a mesh.
+
+    ``param_transform`` (params -> params, traced into the step) is applied
+    before the forward only — gradients flow through it to the latent
+    params (compress/qat.py uses this for straight-through fake
+    quantization).
     """
     mcfg = cfg.model
     tx = make_optimizer(cfg)
@@ -85,6 +93,8 @@ def build_train_step_fn(
     )
 
     def loss_and_outputs(params, frames, t):
+        if param_transform is not None:
+            params = param_transform(params)
         embed = positional_encoding(t, mcfg.embed)
         outs = apply_generator(params, embed, mcfg, train=True)
         targets = [adaptive_avg_pool(frames, o.shape[1:3]) for o in outs]
@@ -129,9 +139,16 @@ def build_train_step_fn(
     return step_fn
 
 
-def make_train_step(cfg: TrainConfig, steps_per_epoch: int, with_msssim: bool = True):
+def make_train_step(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    with_msssim: bool = True,
+    param_transform=None,
+):
     """Jitted single-host train step (buffers donated in-place)."""
-    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+    step_fn = build_train_step_fn(
+        cfg, steps_per_epoch, with_msssim, param_transform=param_transform
+    )
     donate = (0,) if cfg.donate else ()
     return jax.jit(step_fn, donate_argnums=donate)
 
