@@ -114,20 +114,36 @@ def finetune(
 
         param_transform = make_fake_quant(cfg.quant_bit, cfg.quant_axis)
         report.extras["qat"] = True
-    train_step = make_train_step(
-        ft_cfg, steps_per_epoch, with_msssim=False,
-        param_transform=param_transform,
-    )
     tx = make_optimizer(cfg)
     # copy: the jitted step donates the state's buffers, and the caller's
     # params must survive the fine-tune (they are not ours to delete)
     params = jax.tree.map(jnp.copy, params)
     state = TrainState(params, tx.init(params), jnp.asarray(step0, jnp.int32))
-    for epoch in range(cfg.finetune_epochs):
-        state, _ = run_epoch(
-            state, train_step, store, ft_cfg, epoch, masks=masks,
-            max_steps=max_steps_per_epoch,
+    # whole-epoch scan when the trainer would use it too: ONE dispatch per
+    # finetune epoch instead of steps_per_epoch (at the flagship's b=1
+    # that is 132 tunnel RTTs per epoch saved — the same win train_main
+    # gets from make_epoch_fn)
+    if cfg.fused_epoch and max_steps_per_epoch is None:
+        from ..train.loop import make_epoch_fn, run_fused_epoch
+
+        epoch_fn = make_epoch_fn(
+            ft_cfg, steps_per_epoch, with_msssim=False,
+            param_transform=param_transform,
         )
+        for epoch in range(cfg.finetune_epochs):
+            state, _ = run_fused_epoch(
+                state, epoch_fn, store, ft_cfg, epoch, masks=masks
+            )
+    else:
+        train_step = make_train_step(
+            ft_cfg, steps_per_epoch, with_msssim=False,
+            param_transform=param_transform,
+        )
+        for epoch in range(cfg.finetune_epochs):
+            state, _ = run_epoch(
+                state, train_step, store, ft_cfg, epoch, masks=masks,
+                max_steps=max_steps_per_epoch,
+            )
     report.finetune_epochs = cfg.finetune_epochs
     return state.params
 

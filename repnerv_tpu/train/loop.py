@@ -157,6 +157,7 @@ def make_epoch_fn(
     cfg: TrainConfig,
     steps_per_epoch: int,
     with_msssim: bool = False,
+    param_transform=None,
 ):
     """Whole-epoch jitted step: ``lax.scan`` over the shuffled batch order
     with the uint8 video resident in HBM.
@@ -168,7 +169,9 @@ def make_epoch_fn(
     Call: (state, video_u8 [N,H,W,3], perm [steps, B] int32, t_all [N])
     -> (state, aux) where aux entries are stacked per-step.
     """
-    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+    step_fn = build_train_step_fn(
+        cfg, steps_per_epoch, with_msssim, param_transform=param_transform
+    )
 
     def epoch_fn(state: TrainState, video_u8, perm, t_all, masks):
         def body(state, rows):

@@ -164,6 +164,35 @@ def test_qat_deploys_reparam_before_finetune():
     assert r2.finetune_epochs == 2 and r2.extras.get("qat") is True
 
 
+def test_finetune_fused_epoch_matches_per_step():
+    """finetune() under the whole-epoch scan (one dispatch/epoch, the
+    trainer's dispatch-overhead win now applied to PATH A/QAT) equals the
+    per-step path leaf-for-leaf — same shuffle seeds, same masks, same
+    fake-quant transform."""
+    from repnerv_tpu.compress.pipeline import (
+        CompressionReport,
+        finetune,
+        prune_params,
+    )
+
+    mcfg = tiny_model(branch_type="NeRV_vanilla")
+    cfg = tiny_train(model=mcfg, epochs=8)
+    store = make_store(cfg)
+    params = init_generator(jax.random.PRNGKey(3), mcfg)
+
+    outs = {}
+    for fused in (True, False):
+        base = dataclasses.replace(
+            cfg, prune_ratio=0.3, quant_bit=4, finetune=True,
+            finetune_epochs=3, finetune_qat=True, fused_epoch=fused,
+        )
+        report = CompressionReport()
+        p, masks = prune_params(jax.tree.map(jnp.asarray, params), base, report)
+        outs[fused] = finetune(p, masks, base, store, report)
+    for a, b in zip(jax.tree.leaves(outs[True]), jax.tree.leaves(outs[False])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_qat_args_mapping():
     from repnerv_tpu.cli.args import args_to_config, build_parser
 
