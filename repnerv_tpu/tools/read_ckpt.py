@@ -1,10 +1,12 @@
 """Checkpoint inspector — parity with reference read_pth.py:26-165.
 
-Reads either a PyTorch ``.pth`` (reference format, safe ``weights_only``
-load first) or one of our Orbax directories, prints top-level keys, a
-state-dict preview (name/shape/dtype), tensor and element counts, and the
-same structural heuristics: ``module.`` prefix (DDP), ``rbr_reparam``
-(deploy state), ERB branch names (train state).
+Reads a PyTorch ``.pth`` (reference format, safe ``weights_only`` load
+first), one of our Orbax directories, or a ``.rnvb`` compressed bitstream
+artifact (compress/bitstream.py).  Prints top-level keys, a state-dict
+preview (name/shape/dtype), tensor and element counts, and the same
+structural heuristics: ``module.`` prefix (DDP), ``rbr_reparam`` (deploy
+state), ERB branch names (train state).  For ``.rnvb`` it also reports the
+codec, quantization grid, payload bits and the on-disk all-in size.
 
 Usage: ``python -m repnerv_tpu.tools.read_ckpt path [--limit N]``
 """
@@ -75,6 +77,36 @@ def main(argv=None):
         ckpt = _load_orbax(args.path)
         print(f"Orbax checkpoint: {args.path}")
         print(ckpt["_orbax_metadata"])
+        return
+
+    if args.path.endswith(".rnvb"):
+        from ..compress.bitstream import read_bitstream
+
+        params, mcfg, header = read_bitstream(args.path)
+        size = os.path.getsize(args.path)
+        print(f"RNVB bitstream: {args.path}")
+        print(
+            f"codec={header['codec']} quant_bit={header['quant_bit']} "
+            f"quant_axis={header['quant_axis']} "
+            f"symbols={header['n_symbols']:,} "
+            f"payload_bits={header['payload_bits']:,}"
+        )
+        print(
+            f"on-disk: {size:,} bytes "
+            f"(payload {header['payload_bits'] / 8 / size:.1%}, rest = "
+            "header/codec table/qparams/sparsity bitmaps)"
+        )
+        print(f"model: branch={mcfg.branch_type} deploy={mcfg.deploy}")
+        tensors = header["tensors"]
+        print(f"Tensors: {len(tensors)}")
+        for t in tensors[: args.limit]:
+            print(
+                f"  {t['key']}: shape={tuple(t['shape'])} axis={t['axis']} "
+                f"zeros={t['n_zero']}/{t['n_elem']}"
+            )
+        if len(tensors) > args.limit:
+            print(f"  ... ({len(tensors) - args.limit} more)")
+        print(f"Structure: {classify(t['key'] for t in tensors)}")
         return
 
     ckpt = _load_pth(args.path)
