@@ -231,10 +231,104 @@ def run_eval(cfg: TrainConfig) -> dict:
     return result
 
 
+def run_rd_sweep(cfg, prune_ratios, quant_bits) -> dict:
+    """Rate-distortion sweep: one command, the full PSNR/MS-SSIM-vs-BPP
+    grid over (prune_ratio x quant_bit), PATH-B semantics per point.
+
+    The reference needs a separate ``main_eval.py`` invocation per grid
+    point (README.md:66-87), re-loading the checkpoint and re-building the
+    model each time; here the checkpoint loads once, the jitted eval step
+    compiles once (identical shapes across points), and pruning is done
+    once per ratio with every bit-width quantizing the same pruned
+    weights.  Results land in ``<outf>/rd_sweep.json``.
+    """
+    from ..compress.pipeline import (
+        CompressionReport,
+        prune_params,
+        quantize_params,
+    )
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+    outf = os.path.join(cfg.outf, cfg.suffix) if cfg.suffix else cfg.outf
+    store = make_frame_store(cfg.data, split="train")
+    val_store = dataclasses.replace(store, frame_gap=cfg.data.test_gap)
+
+    reparam = cfg.model.branch_type != "NeRV_vanilla"
+    if reparam:
+        path = os.path.join(outf, "model_latest_deploy.pth")
+        load_cfg = dataclasses.replace(cfg.model, deploy=True)
+    else:
+        path = os.path.join(outf, "model_latest.pth")
+        load_cfg = dataclasses.replace(cfg.model, deploy=False)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"checkpoint not found: {path}")
+    base_params, _ = ckpt.load_pth(path, load_cfg)
+    print(f"rd_sweep: loaded {path}")
+
+    eval_cfg = dataclasses.replace(cfg, model=load_cfg)
+    eval_step = make_eval_step(eval_cfg, with_msssim=min(val_store.hw) > 160)
+    n = store.frames.shape[0]
+    max_steps = 10 if cfg.debug else None
+
+    rows = []
+    for pr in prune_ratios:
+        pcfg = dataclasses.replace(eval_cfg, prune_ratio=pr, finetune=False)
+        report = CompressionReport()
+        pruned, _ = prune_params(
+            jax.tree.map(jnp.asarray, base_params), pcfg, report
+        )
+        pr_actual = report.prune_ratio_actual
+        for bit in quant_bits:
+            qcfg = dataclasses.replace(pcfg, quant_bit=bit)
+            qreport = CompressionReport()
+            qreport.prune_ratio_actual = pr_actual
+            params = quantize_params(
+                pruned, qcfg, qreport, frame_hw=store.hw, n_frames=n,
+                model_cfg=load_cfg,
+            )
+            psnr, msssim = evaluate(
+                params, eval_step, val_store, eval_cfg, max_steps=max_steps
+            )
+            row = {
+                "prune_ratio": pr,
+                "prune_actual": pr_actual,
+                "quant_bit": bit,
+                "psnr": float(psnr[-1]),
+                "msssim": float(msssim[-1]),
+                "bpp": qreport.bpp,
+                "efficiency": qreport.efficiency,
+            }
+            rows.append(row)
+            print(
+                f"prune {pr:.2f} quant {bit:2d}: PSNR {row['psnr']:.2f} "
+                f"MS-SSIM {row['msssim']:.4f} BPP {row['bpp']:.4f}"
+            )
+    result = {"rows": rows, "checkpoint": path}
+    os.makedirs(outf, exist_ok=True)
+    with open(os.path.join(outf, "rd_sweep.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
 def main(argv=None):
     parser = build_parser(eval_mode=True)
+    parser.add_argument(
+        "--rd_sweep", action="store_true", default=False,
+        help="rate-distortion grid in one command: PATH-B quality/BPP over "
+        "--rd_prune_ratios x --rd_quant_bits (the reference needs one "
+        "main_eval.py run per point)",
+    )
+    parser.add_argument(
+        "--rd_prune_ratios", type=float, nargs="+", default=[1.0, 0.2, 0.4]
+    )
+    parser.add_argument(
+        "--rd_quant_bits", type=int, nargs="+", default=[8, 6, 5, 4]
+    )
     args = parser.parse_args(argv)
     cfg = args_to_config(args, eval_mode=True)
+    if args.rd_sweep:
+        return run_rd_sweep(cfg, args.rd_prune_ratios, args.rd_quant_bits)
     run_eval(cfg)
 
 

@@ -138,6 +138,36 @@ def test_eval_cli_prune_quant(trained_dir, path_a):
         assert im.shape == (72, 96, 3)
 
 
+def test_eval_cli_rd_sweep(trained_dir):
+    """--rd_sweep: the full (prune x bit) RD grid in ONE invocation, a
+    surface the reference needs one main_eval.py run per point for.  BPP
+    must fall with coarser grids and with pruning at fixed bit."""
+    import json
+
+    from repnerv_tpu.cli import eval_main
+
+    cwd = os.getcwd()
+    os.chdir(trained_dir)
+    try:
+        result = eval_main.main(
+            SMOKE_ARGS
+            + ["-e", "2", "--rd_sweep", "--rd_prune_ratios", "1.0", "0.4",
+               "--rd_quant_bits", "8", "4"]
+        )
+    finally:
+        os.chdir(cwd)
+    rows = result["rows"]
+    assert len(rows) == 4
+    by = {(r["prune_ratio"], r["quant_bit"]): r for r in rows}
+    assert by[(1.0, 4)]["bpp"] < by[(1.0, 8)]["bpp"]
+    assert by[(0.4, 8)]["bpp"] < by[(1.0, 8)]["bpp"]
+    assert all(np.isfinite(r["psnr"]) and r["bpp"] > 0 for r in rows)
+    saved = json.loads(
+        (trained_dir / "result" / "e2e" / "smoke" / "rd_sweep.json").read_text()
+    )
+    assert len(saved["rows"]) == 4
+
+
 def test_train_cli_mesh_writes_checkpoints(tmp_path):
     """The full train CLI over a 4-device data mesh (virtual CPU devices):
     sharded whole-epoch scan + the deferred best-checkpoint flush must
