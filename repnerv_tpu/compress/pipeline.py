@@ -123,7 +123,10 @@ def finetune(
     # finetune epoch instead of steps_per_epoch (at the flagship's b=1
     # that is 132 tunnel RTTs per epoch saved — the same win train_main
     # gets from make_epoch_fn)
-    if cfg.fused_epoch and max_steps_per_epoch is None:
+    # single-process only: run_fused_epoch has no process-local data path
+    # (multi-process finetune keeps the per-step run_epoch, which shards
+    # batches via process_local_slice)
+    if cfg.fused_epoch and max_steps_per_epoch is None and jax.process_count() == 1:
         from ..train.loop import make_epoch_fn, run_fused_epoch
 
         epoch_fn = make_epoch_fn(
