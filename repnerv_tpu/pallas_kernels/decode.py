@@ -120,17 +120,34 @@ def fused_conv_ps_act(
     out_cols = s * c_final if with_head else s * C
 
     def kernel(x_ref, w_ref, b_ref, hw_ref, hb_ref, out_ref):
-        taps = [
-            x_ref[0, dy : dy + TH, dx : dx + W, :].reshape(TH * W, Cin)
-            for dy in range(3)
-            for dx in range(3)
-        ]
-        win = jnp.concatenate(taps, axis=-1)  # [TH*W, 9*Cin]
-        acc = jnp.dot(
-            win,
-            w_ref[:].reshape(9 * Cin, Cout),
-            preferred_element_type=jnp.float32,
-        )
+        if TH == 1:
+            # at TH == 1 the tap reshape is a pure squeeze, the 9 taps keep
+            # shifted sublane/lane offsets, and Mosaic rejects the concat
+            # ("offset mismatch on non-concat dimension") — accumulate nine
+            # K=Cin matmuls instead (see pallas_kernels/train_tail.py)
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    tap = x_ref[0, dy : dy + TH, dx : dx + W, :].reshape(
+                        TH * W, Cin
+                    )
+                    part = jnp.dot(
+                        tap, w_ref[dy, dx],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+        else:
+            taps = [
+                x_ref[0, dy : dy + TH, dx : dx + W, :].reshape(TH * W, Cin)
+                for dy in range(3)
+                for dx in range(3)
+            ]
+            win = jnp.concatenate(taps, axis=-1)  # [TH*W, 9*Cin]
+            acc = jnp.dot(
+                win,
+                w_ref[:].reshape(9 * Cin, Cout),
+                preferred_element_type=jnp.float32,
+            )
         acc += b_ref[:]
         acc = activation(acc, act)
         for i in range(s):

@@ -101,17 +101,39 @@ def _fused_fwd_kernel_call(
     out_cols = s * c_final if with_head else s * C
 
     def kernel(x_ref, w_ref, b_ref, hw_ref, hb_ref, out_ref, z_ref):
-        taps = [
-            x_ref[0, dy : dy + TH, dx : dx + W, :].reshape(TH * W, Cin)
-            for dy in range(3)
-            for dx in range(3)
-        ]
-        win = jnp.concatenate(taps, axis=-1)
-        acc = jnp.dot(
-            win,
-            w_ref[:].reshape(9 * Cin, Cout),
-            preferred_element_type=jnp.float32,
-        )
+        if TH == 1:
+            # no-concat form: at TH == 1 the tap reshape is a pure squeeze,
+            # so the 9 taps keep their shifted sublane/lane offsets and
+            # Mosaic rejects the concat ("result/input offset mismatch on
+            # non-concat dimension" — hit at the 1080p stage-5 geometry,
+            # whose W=960 row forces TH to 1).  Nine accumulated K=Cin
+            # matmuls sidestep the layout constraint; TH > 1 keeps the
+            # single K=9*Cin matmul (its reshape copies taps to canonical
+            # offsets, and the wider K wastes less MXU padding).
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    tap = x_ref[0, dy : dy + TH, dx : dx + W, :].reshape(
+                        TH * W, Cin
+                    )
+                    part = jnp.dot(
+                        tap,
+                        w_ref[dy, dx],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+        else:
+            taps = [
+                x_ref[0, dy : dy + TH, dx : dx + W, :].reshape(TH * W, Cin)
+                for dy in range(3)
+                for dx in range(3)
+            ]
+            win = jnp.concatenate(taps, axis=-1)
+            acc = jnp.dot(
+                win,
+                w_ref[:].reshape(9 * Cin, Cout),
+                preferred_element_type=jnp.float32,
+            )
         acc += b_ref[:]
         post = activation(acc, act)
         for i in range(s):
