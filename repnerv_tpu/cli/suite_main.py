@@ -156,7 +156,6 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
     enable_compilation_cache()
     stores = _suite_stores(cfg, n_videos)
     b = cfg.data.batch_size
-    steps = max(stores[0].num_samples // b, 1)
     with_msssim = min(stores[0].hw) > 160
     t0 = time.time()
 
@@ -179,11 +178,36 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
             )
             return run_suite(cfg, n_videos, "sequential", suite_out)
         mesh = Mesh(np.asarray(jax.devices()[:axis]), ("video",))
+        # UVG-style suites mix lengths (ShakeNDry: 300 frames vs 600): the
+        # stack zero-pads to the longest video (padded frames are NEVER
+        # sampled — suite_perms indexes each video's true frames only, so
+        # shorter videos revisit frames within the epoch), and every video
+        # runs the longest video's step count so SPMD stays uniform.
+        n_frames_list = [int(s.frames.shape[0]) for s in stores]
+        max_n = max(n_frames_list)
+        if len(set(n_frames_list)) > 1:
+            print(
+                f"suite videos have unequal lengths {n_frames_list}; "
+                f"zero-padding the stack to {max_n} frames (pad never "
+                "sampled; shorter videos cycle their own frames per epoch)"
+            )
+        steps = max(max(s.num_samples for s in stores) // b, 1)
+
+        def _pad(x, n):
+            x = jnp.asarray(x)
+            if x.shape[0] == n:
+                return x
+            pad = jnp.zeros((n - x.shape[0],) + x.shape[1:], x.dtype)
+            return jnp.concatenate([x, pad])
+
         videos = shard_suite(
-            jnp.stack([s.frames for s in stores]), mesh
+            jnp.stack([_pad(s.frames, max_n) for s in stores]), mesh
         )
         t_all = shard_suite(
-            jnp.asarray(np.stack([s.t for s in stores]), jnp.float32), mesh
+            jnp.stack(
+                [_pad(jnp.asarray(s.t, jnp.float32), max_n) for s in stores]
+            ),
+            mesh,
         )
         states = shard_suite(
             init_suite_states(
@@ -196,7 +220,8 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         )
         for epoch in range(cfg.epochs):
             states, m = run_suite_epoch(
-                states, epoch_fn, videos, t_all, cfg, epoch, steps, mesh
+                states, epoch_fn, videos, t_all, cfg, epoch, steps, mesh,
+                n_frames=n_frames_list,
             )
             if epoch % max(cfg.print_freq // steps, 1) == 0 or epoch == cfg.epochs - 1:
                 ps = " ".join(f"{p[-1]:.2f}" for p in m["psnr"])
@@ -211,16 +236,23 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         vkeys = jax.random.split(
             jax.random.PRNGKey(cfg.manual_seed), len(stores)
         )
-        # one jitted epoch fn for every video (identical shapes — no
-        # per-video retrace/recompile)
-        epoch_fn = make_epoch_fn(cfg, steps, with_msssim=with_msssim)
+        # one jitted epoch fn per DISTINCT step count (equal-length suites
+        # share one — no per-video retrace/recompile).  steps_per_epoch is
+        # traced into the LR schedule (build_train_step_fn), so a short
+        # video reusing a longer video's fn would pace its cosine wrong.
+        epoch_fns: dict = {}
         for v, store in enumerate(stores):
+            steps_v = max(store.num_samples // b, 1)
+            if steps_v not in epoch_fns:
+                epoch_fns[steps_v] = make_epoch_fn(
+                    cfg, steps_v, with_msssim=with_msssim
+                )
             state = init_train_state(vkeys[v], cfg)
             # per-video seed offset matches parallel/suite.py suite_perms
             vcfg = dataclasses.replace(cfg, manual_seed=cfg.manual_seed + v)
             for epoch in range(cfg.epochs):
                 state, m = run_fused_epoch(
-                    state, epoch_fn, store, vcfg, epoch
+                    state, epoch_fns[steps_v], store, vcfg, epoch
                 )
             print(
                 f"video {v}: final train PSNR {m.psnr[-1]:.2f} "

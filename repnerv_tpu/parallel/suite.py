@@ -106,7 +106,7 @@ def make_suite_epoch_fn(
 def suite_perms(
     cfg: TrainConfig,
     n_videos: int,
-    n_frames: int,
+    n_frames,
     steps_per_epoch: int,
     epoch: int,
 ) -> np.ndarray:
@@ -115,21 +115,37 @@ def suite_perms(
     gap-strided ``FrameStore.sample_indices()`` (= arange(N//gap)*gap) with
     seed*100003+epoch, the suite adds a per-video seed offset — so parallel
     == sequential for every ``frame_gap``, and test-gap frames never leak
-    into training."""
+    into training.
+
+    ``n_frames`` may be one int (all videos equal) or a per-video sequence
+    (UVG-style unequal lengths, e.g. ShakeNDry's 300 vs 600 frames).  SPMD
+    needs the same step count on every device, so a video shorter than
+    ``steps*B`` samples cycles through additional shuffled permutations of
+    its OWN true frames within the epoch — padded stack rows are never
+    sampled, and the first permutation matches the equal-length case
+    index-for-index."""
     b = cfg.data.batch_size
     gap = cfg.data.frame_gap
-    n_samples = n_frames // gap
-    out = np.empty((n_videos, steps_per_epoch, b), np.int32)
+    if np.isscalar(n_frames):
+        n_frames = [int(n_frames)] * n_videos
+    need = steps_per_epoch * b
+    out = np.empty((n_videos, need), np.int32)
     for v in range(n_videos):
         rng = np.random.default_rng(
             (cfg.manual_seed + v) * 100003 + epoch
         )
+        n_samples = n_frames[v] // gap
         # rng.permutation(n) draws identically to rng.shuffle(arange(n)),
         # so scaling by gap reproduces run_fused_epoch's shuffled
         # sample_indices() exactly
-        idx = rng.permutation(n_samples) * gap
-        out[v] = idx[: steps_per_epoch * b].reshape(steps_per_epoch, b)
-    return out
+        chunks = []
+        got = 0
+        while got < need:
+            idx = rng.permutation(n_samples) * gap
+            chunks.append(idx)
+            got += len(idx)
+        out[v] = np.concatenate(chunks)[:need]
+    return out.reshape(n_videos, steps_per_epoch, b)
 
 
 def run_suite_epoch(
@@ -141,11 +157,18 @@ def run_suite_epoch(
     epoch: int,
     steps_per_epoch: int,
     mesh: Optional[Mesh] = None,
+    n_frames=None,
 ) -> Tuple[TrainState, Dict[str, np.ndarray]]:
-    """One parallel epoch over every video; returns per-video metrics."""
+    """One parallel epoch over every video; returns per-video metrics.
+
+    ``n_frames``: per-video TRUE frame counts when the stacked ``videos_u8``
+    is zero-padded to a common length (unequal suites); defaults to the
+    stack's frame axis."""
+    if n_frames is None:
+        n_frames = videos_u8.shape[1]
     perms = jnp.asarray(
         suite_perms(
-            cfg, videos_u8.shape[0], videos_u8.shape[1], steps_per_epoch, epoch
+            cfg, videos_u8.shape[0], n_frames, steps_per_epoch, epoch
         )
     )
     perms = shard_suite(perms, mesh)

@@ -158,6 +158,93 @@ def test_suite_parallel_trains_each_video():
     assert (last < first).all()
 
 
+def test_suite_perms_unequal_lengths_cycle():
+    """UVG-style unequal suites (ShakeNDry: 300 vs 600 frames): a short
+    video's perm cycles fresh shuffles of its OWN frames — padded stack rows
+    are never referenced, every true frame is visited, and the first
+    permutation matches the equal-length draw index-for-index."""
+    cfg = tiny_train()
+    b = cfg.data.batch_size
+    steps = 16 // b  # steps sized to the LONG video
+    perms = suite_perms(cfg, 2, [16, 8], steps, epoch=5)
+    # long video: identical to the scalar-n_frames draw
+    np.testing.assert_array_equal(
+        perms[0], suite_perms(cfg, 1, 16, steps, epoch=5)[0]
+    )
+    # short video: only true frames, all of them, first-perm prefix matches
+    assert perms[1].max() < 8 and perms[1].min() >= 0
+    flat = perms[1].reshape(-1)
+    assert set(flat.tolist()) == set(range(8))
+    rng = np.random.default_rng((cfg.manual_seed + 1) * 100003 + 5)
+    np.testing.assert_array_equal(flat[:8], rng.permutation(8))
+
+
+def test_suite_cli_parallel_unequal_lengths(tmp_path):
+    """Parallel one-fit-per-device over per-video subdirs of DIFFERENT
+    lengths (the real UVG layout) runs end-to-end: the stack zero-pads,
+    perms index true frames only, and every video reaches a finite PSNR."""
+    from PIL import Image
+
+    from repnerv_tpu.cli.suite_main import main
+
+    root = tmp_path / "uvgtiny"
+    for v, n_frames in enumerate([8, 4]):
+        d = root / f"vid{v}"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(v)
+        for n in range(n_frames):
+            img = rng.integers(0, 255, (8, 8, 3), np.uint8)
+            Image.fromarray(img).save(d / f"f{n:02d}.png")
+    out = tmp_path / "suite.json"
+    result = main(
+        [
+            "--dataset", "uvgtiny", "--data_dir", str(tmp_path),
+            "--embed", "1.25_8",
+            "--stem_dim_num", "16_1", "--fc_hw_dim", "2_2_4",
+            "--expansion", "1", "--strides", "2", "2",
+            "--lower_width", "4", "-e", "4", "-b", "4",
+            "--lr", "5e-3", "--loss", "L2", "--act", "swish",
+            "--single_res", "--branch_type", "NeRV_vanilla",
+            "--n_videos", "2", "--suite_mode", "parallel",
+            "--suite_out", str(out),
+        ]
+    )
+    assert result["mode"] == "parallel" and len(result["videos"]) == 2
+    assert all(np.isfinite(r["psnr"]) for r in result["videos"])
+
+
+def test_suite_cli_sequential_unequal_lengths(tmp_path):
+    """Sequential mode builds one epoch fn PER step count so a short video's
+    LR schedule paces over ITS OWN steps (not the first video's)."""
+    from PIL import Image
+
+    from repnerv_tpu.cli.suite_main import main
+
+    root = tmp_path / "uvgtiny"
+    for v, n_frames in enumerate([8, 4]):
+        d = root / f"vid{v}"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(v)
+        for n in range(n_frames):
+            img = rng.integers(0, 255, (8, 8, 3), np.uint8)
+            Image.fromarray(img).save(d / f"f{n:02d}.png")
+    out = tmp_path / "suite.json"
+    result = main(
+        [
+            "--dataset", "uvgtiny", "--data_dir", str(tmp_path),
+            "--embed", "1.25_8",
+            "--stem_dim_num", "16_1", "--fc_hw_dim", "2_2_4",
+            "--expansion", "1", "--strides", "2", "2",
+            "--lower_width", "4", "-e", "4", "-b", "4",
+            "--lr", "5e-3", "--loss", "L2", "--act", "swish",
+            "--single_res", "--branch_type", "NeRV_vanilla",
+            "--n_videos", "2", "--suite_out", str(out),
+        ]
+    )
+    assert len(result["videos"]) == 2
+    assert all(np.isfinite(r["psnr"]) for r in result["videos"])
+
+
 def test_suite_stores_real_dir_layouts(tmp_path):
     """Real-data suite semantics: a dataset dir of per-video SUBDIRECTORIES
     maps one subdir per video (the reference's UVG layout — one frame dir
