@@ -29,6 +29,25 @@ from ..train.loop import evaluate, make_eval_step
 from .args import args_to_config, build_parser
 
 
+def _select_checkpoint(cfg: TrainConfig, outf: str, qat: bool = False):
+    """Checkpoint selection (main_eval.py:214-237, 551-611): reparam
+    branches load the deploy state except on the finetune PATH A.  QAT
+    finetunes the DEPLOY tensors (the ones the quantizer sees,
+    compress/qat.py), so --finetune --qat loads deploy like PATH B does.
+    Returns (path, load_cfg); one helper so run_eval and run_rd_sweep
+    cannot drift."""
+    reparam = cfg.model.branch_type != "NeRV_vanilla"
+    if reparam and (not cfg.finetune or qat):
+        path = os.path.join(outf, "model_latest_deploy.pth")
+        load_cfg = dataclasses.replace(cfg.model, deploy=True)
+    else:
+        path = os.path.join(outf, "model_latest.pth")
+        load_cfg = dataclasses.replace(cfg.model, deploy=False)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"checkpoint not found: {path}")
+    return path, load_cfg
+
+
 def run_eval(cfg: TrainConfig) -> dict:
     from ..utils.misc import enable_compilation_cache
 
@@ -39,18 +58,8 @@ def run_eval(cfg: TrainConfig) -> dict:
     val_store = dataclasses.replace(store, frame_gap=cfg.data.test_gap)
 
     reparam = cfg.model.branch_type != "NeRV_vanilla"
-    # checkpoint selection (main_eval.py:214-237, 551-611).  QAT finetunes
-    # the DEPLOY tensors (the ones the quantizer sees, compress/qat.py), so
-    # --finetune --qat loads the deploy checkpoint like PATH B does.
     qat = cfg.finetune and cfg.finetune_qat and cfg.quant_bit != -1
-    if reparam and (not cfg.finetune or qat):
-        path = os.path.join(outf, "model_latest_deploy.pth")
-        load_cfg = dataclasses.replace(cfg.model, deploy=True)
-    else:
-        path = os.path.join(outf, "model_latest.pth")
-        load_cfg = dataclasses.replace(cfg.model, deploy=False)
-    if not os.path.isfile(path):
-        raise FileNotFoundError(f"checkpoint not found: {path}")
+    path, load_cfg = _select_checkpoint(cfg, outf, qat)
     params, extra = ckpt.load_pth(path, load_cfg)
     print(f"loaded {path} (branch={cfg.model.branch_type}, deploy={load_cfg.deploy})")
 
@@ -254,15 +263,10 @@ def run_rd_sweep(cfg, prune_ratios, quant_bits) -> dict:
     store = make_frame_store(cfg.data, split="train")
     val_store = dataclasses.replace(store, frame_gap=cfg.data.test_gap)
 
-    reparam = cfg.model.branch_type != "NeRV_vanilla"
-    if reparam:
-        path = os.path.join(outf, "model_latest_deploy.pth")
-        load_cfg = dataclasses.replace(cfg.model, deploy=True)
-    else:
-        path = os.path.join(outf, "model_latest.pth")
-        load_cfg = dataclasses.replace(cfg.model, deploy=False)
-    if not os.path.isfile(path):
-        raise FileNotFoundError(f"checkpoint not found: {path}")
+    # the sweep is PATH-B per point: ignore any --finetune flag for selection
+    path, load_cfg = _select_checkpoint(
+        dataclasses.replace(cfg, finetune=False), outf
+    )
     base_params, _ = ckpt.load_pth(path, load_cfg)
     print(f"rd_sweep: loaded {path}")
 

@@ -79,19 +79,23 @@ def write_bitstream(
         else np.zeros(0)
     )
 
+    # frequency table via np.unique — Counter over a multi-million-entry
+    # Python list costs seconds of host time per artifact write
+    uniq, cnt = np.unique(all_nonzero, return_counts=True)
+    freqs = {float(s): int(c) for s, c in zip(uniq.tolist(), cnt.tolist())}
     if codec == "rans":
         from .rans import RansCodec
 
-        cdc = RansCodec.from_data(all_nonzero.tolist())
-        blob, n_bits = cdc.encode(all_nonzero.tolist())
+        cdc = RansCodec.from_frequencies(freqs)
+        blob, n_bits = cdc.encode(all_nonzero)
         table = {
             "syms": [float(s) for s in cdc.syms],
             "freq": [int(f) for f in cdc.freq],
             "scale_bits": cdc.scale_bits,
         }
     else:
-        cdc = HuffmanCodec.from_data(all_nonzero.tolist())
-        blob, n_bits = cdc.encode(all_nonzero.tolist())
+        cdc = HuffmanCodec.from_frequencies(freqs)
+        blob, n_bits = cdc.encode(all_nonzero)
         tbl = cdc.get_code_table()
         table = {
             "syms": [float(s) for s in tbl],
@@ -146,6 +150,7 @@ def write_bitstream(
         "file_bytes": float(os.path.getsize(path)),
         "payload_bits": float(n_bits),
         "n_symbols": float(all_nonzero.size),
+        "distinct_symbols": float(len(table["syms"])),
         "header_bytes": float(len(header) + 16),
         "qparams_bytes": float(len(qp_payload)),
         "bitmap_bytes": float(len(bitmap_payload)),

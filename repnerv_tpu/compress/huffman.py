@@ -108,10 +108,15 @@ class HuffmanCodec:
         # canonical (length, code) order — required by the native decoder's
         # consecutive-code range lookup
         syms = sorted(self._table, key=lambda s: self._table[s])
-        sym_index = {s: i for i, s in enumerate(syms)}
         lens = np.array([self._table[s][0] for s in syms], np.int32)
         codes = np.array([self._table[s][1] for s in syms], np.uint64)
-        idx = np.array([sym_index[v] for v in arr.tolist()], np.int32)
+        # symbol -> canonical index via searchsorted over the value-sorted
+        # symbols (symbols are exact quantized floats, so equality is exact);
+        # a per-symbol Python dict lookup here costs seconds on flagship-size
+        # streams (same fix as rans.py encode)
+        sym_arr = np.asarray(syms)
+        order = np.argsort(sym_arr, kind="stable").astype(np.int32)
+        idx = order[np.searchsorted(sym_arr[order], arr)]
         packed = native_encode(idx, lens, codes)
         if packed is not None:
             return packed
@@ -126,7 +131,7 @@ class HuffmanCodec:
             while nbits >= 8:
                 nbits -= 8
                 out.append((bits >> nbits) & 0xFF)
-        total = sum(int(lens[i]) for i in idx)
+        total = int(lens[idx].sum())
         if nbits:
             out.append((bits << (8 - nbits)) & 0xFF)
         return bytes(out), total
@@ -160,10 +165,12 @@ class HuffmanCodec:
 
 def entropy_stats(codes: Sequence[float], quant_bit: int) -> Dict[str, float]:
     """total/avg bits + encoding efficiency (main_eval.py:673-698)."""
-    freqs = Counter(codes)
+    arr = np.asarray(codes)
+    uniq, cnt = np.unique(arr, return_counts=True)
+    freqs = {float(s): int(c) for s, c in zip(uniq.tolist(), cnt.tolist())}
     codec = HuffmanCodec.from_frequencies(freqs)
     total_bits = codec.total_bits(freqs)
-    avg_bits = total_bits / max(len(codes), 1)
+    avg_bits = total_bits / max(arr.size, 1)
     return {
         "total_bits": float(total_bits),
         "avg_bits": avg_bits,

@@ -159,6 +159,7 @@ def quantize_params(
     n_frames=0,
     model_cfg=None,
     return_qdata: bool = False,
+    skip_entropy: bool = False,
 ):
     """Quantize every tensor with REFERENCE grouping semantics, gather
     nonzero codes, compute entropy stats/BPP, and return the dequantized
@@ -182,22 +183,28 @@ def quantize_params(
     dequant, all_codes, nonzero_codes, qparams = quantize_state(
         state, cfg.quant_bit, cfg.quant_axis
     )
-    codes = (
-        np.concatenate(nonzero_codes) if nonzero_codes else np.zeros(0)
-    )
-    if cfg.codec == "rans":
-        from .rans import entropy_stats_rans
-
-        stats = entropy_stats_rans(codes.tolist(), cfg.quant_bit)
-    else:
-        stats = entropy_stats(codes.tolist(), cfg.quant_bit)
     report.quant_bit = cfg.quant_bit
-    report.avg_bits = stats["avg_bits"]
-    report.efficiency = stats["efficiency"]
-    report.total_bits = stats["total_bits"]
-    report.num_symbols = int(stats["num_symbols"])
-    if frame_hw is not None and n_frames:
-        report.bpp = bits_per_pixel(stats["total_bits"], n_frames, *frame_hw)
+    # skip_entropy: the caller will write a bitstream, whose ONE real encode
+    # measures the same bits — running entropy stats here too would build the
+    # codec and (for rANS) encode the whole stream twice
+    if not skip_entropy:
+        codes = (
+            np.concatenate(nonzero_codes) if nonzero_codes else np.zeros(0)
+        )
+        if cfg.codec == "rans":
+            from .rans import entropy_stats_rans
+
+            stats = entropy_stats_rans(codes, cfg.quant_bit)
+        else:
+            stats = entropy_stats(codes, cfg.quant_bit)
+        report.avg_bits = stats["avg_bits"]
+        report.efficiency = stats["efficiency"]
+        report.total_bits = stats["total_bits"]
+        report.num_symbols = int(stats["num_symbols"])
+        if frame_hw is not None and n_frames:
+            report.bpp = bits_per_pixel(
+                stats["total_bits"], n_frames, *frame_hw
+            )
     out = torch_state_to_params(dequant, mcfg)
     if return_qdata:
         # hand (state, codes, qparams) to write_bitstream so the artifact
@@ -261,10 +268,12 @@ def compress(
     hw = store.hw if store is not None else None
     n = store.frames.shape[0] if store is not None else 0
     prequant = params
+    write_bs = bool(bitstream_path) and cfg.quant_bit != -1
     params, qdata = quantize_params(
-        params, cfg, report, frame_hw=hw, n_frames=n, return_qdata=True
+        params, cfg, report, frame_hw=hw, n_frames=n, return_qdata=True,
+        skip_entropy=write_bs,
     )
-    if bitstream_path and cfg.quant_bit != -1:
+    if write_bs:
         from .bitstream import all_in_bpp, write_bitstream
 
         deployed = any("rbr_reparam" in b for b in prequant["blocks"])
@@ -276,4 +285,17 @@ def compress(
         if hw is not None and n:
             acct["bpp_all_in"] = all_in_bpp(acct["file_bytes"], n, *hw)
         report.extras["bitstream"] = acct
+        # the artifact's ONE encode is the entropy accounting (its payload
+        # bits equal what entropy_stats[_rans] would have measured — Huffman
+        # total_bits is the sum of per-symbol code lengths, rANS bits are the
+        # byte stream either way)
+        report.total_bits = acct["payload_bits"]
+        n_sym = max(acct["n_symbols"], 1.0)
+        report.avg_bits = acct["payload_bits"] / n_sym
+        report.efficiency = (
+            report.avg_bits / cfg.quant_bit if cfg.quant_bit > 0 else 0.0
+        )
+        report.num_symbols = int(acct["distinct_symbols"])
+        if hw is not None and n:
+            report.bpp = bits_per_pixel(acct["payload_bits"], n, *hw)
     return params, report

@@ -154,10 +154,12 @@ class RansCodec:
 
 def entropy_stats_rans(codes: Sequence[float], quant_bit: int) -> Dict[str, float]:
     """Same shape as huffman.entropy_stats, with MEASURED bits (real encode)."""
-    freqs = Counter(codes)
+    arr = np.asarray(codes)
+    uniq, cnt = np.unique(arr, return_counts=True)
+    freqs = {float(s): int(c) for s, c in zip(uniq.tolist(), cnt.tolist())}
     codec = RansCodec.from_frequencies(freqs)
-    _, total_bits = codec.encode(list(codes))
-    avg_bits = total_bits / max(len(codes), 1)
+    _, total_bits = codec.encode(arr)
+    avg_bits = total_bits / max(arr.size, 1)
     return {
         "total_bits": float(total_bits),
         "avg_bits": avg_bits,

@@ -205,10 +205,11 @@ def run_fused_epoch(
         n_steps = min(n_steps, max_steps)
     perm = jnp.asarray(idx[: n_steps * b].reshape(n_steps, b), jnp.int32)
     t_all = jnp.asarray(store.t, jnp.float32)
-    video = store.frames
-    if not isinstance(video, jnp.ndarray):
-        video = jnp.asarray(video)
-    state, aux = epoch_fn(state, video, perm, t_all, masks)
+    # pass store.frames AS-IS: the mesh epoch runner caches its one-time
+    # replication by source identity (parallel/sharding.py _replicate_once),
+    # so minting a fresh jnp array here every epoch would re-transfer the
+    # full video each call; plain jit transfers host arrays itself.
+    state, aux = epoch_fn(state, store.frames, perm, t_all, masks)
     psnr = np.asarray(aux["psnr"]).reshape(n_steps, -1).mean(0)
     msssim = (
         np.asarray(aux["msssim"]).reshape(n_steps, -1).mean(0)
