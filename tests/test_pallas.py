@@ -67,6 +67,25 @@ def test_kernel_sigmoid_head():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
 
 
+def test_kernel_th1_no_concat_path(monkeypatch):
+    """TH == 1 takes the nine-matmul no-concat form (the tap concat is
+    rejected by Mosaic at that tile height — hit at the 1080p stage-5
+    geometry, W=960).  Force TH=1 and check exactness incl. the head."""
+    import repnerv_tpu.pallas_kernels.decode as dec
+
+    monkeypatch.setattr(dec, "_pick_tile_h", lambda *a, **k: 1)
+    x, w, b = _mk()
+    hw = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 4, 3)) * 0.2
+    hb = jnp.asarray([0.1, -0.2, 0.3])
+    base = activation(pixel_shuffle(conv2d(x, w, b), 2), "swish")
+    ref = (jnp.tanh(conv2d(base, hw, hb)) + 1.0) * 0.5
+    out = fused_conv_ps_act(
+        x, w, b, 2, "swish",
+        head_w=hw, head_b=hb, compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
 def test_generator_pallas_path_interpret(monkeypatch):
     """The cfg.use_pallas_decode wiring must reproduce the XLA deploy path."""
     import dataclasses

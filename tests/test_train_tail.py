@@ -96,6 +96,34 @@ def test_vjp_matches_autodiff_with_head(squash):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4)
 
 
+@pytest.mark.parametrize("squash", ["tanh", "sigmoid"])
+def test_th1_no_concat_fwd_and_vjp(monkeypatch, squash):
+    """TH == 1 takes the nine-matmul no-concat form (Mosaic rejects the tap
+    concat at that tile height — the 1080p stage-5 geometry, W=960).  Force
+    TH=1 and check forward AND gradients against the XLA chain."""
+    monkeypatch.setattr(tt, "_pick_tile_h", lambda *a, **k: 1)
+    x, w, b, hw, hb = _mk(seed=5)
+    ct = jax.random.normal(jax.random.PRNGKey(13), (2, 16, 32, 3))
+
+    ref = _ref_chain(x, w, b, hw, hb, 2, squash)
+    out = fused_stage_train(x, w, b, hw, hb, 2, "swish", squash, "float32")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+    def ref_loss(x, w, b, hw, hb):
+        return jnp.sum(_ref_chain(x, w, b, hw, hb, 2, squash) * ct)
+
+    def ker_loss(x, w, b, hw, hb):
+        return jnp.sum(
+            fused_stage_train(x, w, b, hw, hb, 2, "swish", squash, "float32")
+            * ct
+        )
+
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(x, w, b, hw, hb)
+    gk = jax.grad(ker_loss, argnums=(0, 1, 2, 3, 4))(x, w, b, hw, hb)
+    for a, c in zip(gr, gk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4)
+
+
 def test_generator_train_fwd_and_grads_match_xla_path(monkeypatch):
     """apply_generator with use_pallas_train on (gates lifted) equals the
     XLA train path in outputs AND parameter gradients — ERB online fusion
