@@ -333,3 +333,47 @@ def test_bitstream_decode_matches_quality(tmp_path):
     a = apply_generator(out_params, emb, dcfg, train=False)[-1]
     b = apply_generator(loaded, emb, dcfg, train=False)[-1]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_cli_standalone(tmp_path):
+    """decode_main serves an .rnvb with NO checkpoint/flags: dump mode writes
+    pred PNGs matching the generator's frames to 8-bit rounding; throughput
+    mode reports finite fps.  PATH-A-style train-state artifacts fuse to the
+    deploy graph inside the CLI."""
+    import dataclasses
+
+    from PIL import Image
+
+    from repnerv_tpu.cli.decode_main import main
+    from repnerv_tpu.compress.bitstream import write_bitstream
+
+    mcfg = tiny_model(branch_type="ERB")
+    params = init_generator(jax.random.PRNGKey(4), mcfg)
+    path = str(tmp_path / "model.rnvb")
+    write_bitstream(path, params, mcfg, quant_bit=8)  # train-state artifact
+
+    out_dir = str(tmp_path / "frames")
+    n = 3
+    r = main([path, "--frames", str(n), "--out", out_dir])
+    assert r["frames"] == n
+    files = sorted(f for f in __import__("os").listdir(out_dir))
+    assert files == [f"pred_{i}.png" for i in range(n)]
+
+    # PNGs match a direct decode of the dequantized deploy params
+    from repnerv_tpu.compress.bitstream import read_bitstream
+    from repnerv_tpu.models.generator import generator_to_deploy
+
+    loaded, lcfg, _ = read_bitstream(path)
+    dparams, dcfg = generator_to_deploy(loaded, lcfg)
+    t = jnp.arange(n, dtype=jnp.float32) / n
+    emb = positional_encoding(t, dcfg.embed)
+    ref = np.clip(
+        np.asarray(apply_generator(dparams, emb, dcfg, train=False)[-1]) * 255,
+        0, 255,
+    )
+    for i in range(n):
+        got = np.asarray(Image.open(f"{out_dir}/pred_{i}.png"), np.float64)
+        np.testing.assert_allclose(got, ref[i], atol=1.0)
+
+    r2 = main([path, "--frames", "4"])
+    assert np.isfinite(r2["fps"]) and r2["fps"] > 0
