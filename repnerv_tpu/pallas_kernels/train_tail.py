@@ -44,7 +44,15 @@ INTERPRET = False
 
 def _pick_tile_h(h: int, w: int, cin: int, cout: int, el_bytes: int) -> int:
     """Like decode._pick_tile_h but budgets the extra double-buffered
-    pre-activation output tile."""
+    pre-activation output tile.
+
+    The 12 MB budget is measured, not guessed: raising it to 14 MB to
+    fit the 1080p stage-5 row (540x960, Cin 96, Cout 384; 13.64 MB
+    accounted at TH=2, which would keep the single K=9*Cin matmul form)
+    compiles to a 17.38 MB scoped allocation — Mosaic's stack
+    temporaries add ~3.7 MB on top of this accounting — and trips the
+    16 MB limit on-chip.  That stage therefore runs the TH=1
+    nine-matmul form by design."""
     budget = 12 * 1024 * 1024
     best = 1
     for th in range(1, h + 1):
