@@ -25,7 +25,6 @@ import time
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 
@@ -53,13 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     from ..compress.bitstream import read_bitstream
-    from ..config import TrainConfig
+    from ..config import TrainConfig, output_hw
     from ..models.embedding import positional_encoding
-    from ..models.generator import apply_generator, generator_to_deploy
-    from ..train.loop import make_video_decode_fn
+    from ..models.generator import generator_to_deploy
+    from ..train.loop import (
+        decode_batch_cap,
+        make_decode_fn,
+        measure_decode_fps,
+    )
     from ..utils.misc import enable_compilation_cache
 
     a = build_parser().parse_args(argv)
+    if a.frames <= 0:
+        build_parser().error(f"--frames must be positive (got {a.frames})")
     enable_compilation_cache()
 
     params, mcfg, header = read_bitstream(a.artifact)
@@ -87,14 +92,9 @@ def main(argv=None) -> dict:
         else:
             print("WARNING: int8 calibration skipped; using non-int8 path")
 
-    from ..config import output_hw
-
     h, w = output_hw(mcfg)
     n = a.frames
-    # decode batch: amortize dispatch, cap activation HBM by pixel count
-    # (same rule as eval_main; a 1080p batch of 8 exhausted the chip)
-    bsz = a.batch or min(8, max(8 * 921600 // (h * w), 1))
-    bsz = min(bsz, n)
+    bsz = min(a.batch or decode_batch_cap(h, w), n)
     t_all = np.arange(n, dtype=np.float32) / n
 
     result = {"frames": n, "hw": [h, w], "batch": bsz}
@@ -103,12 +103,10 @@ def main(argv=None) -> dict:
         from PIL import Image
 
         os.makedirs(a.out, exist_ok=True)
-
-        @jax.jit
-        def decode(p, t):
-            e = positional_encoding(t, mcfg.embed)
-            return apply_generator(p, e, mcfg, train=False)[-1]
-
+        # chunked decode (NOT the whole-video scan with keep_frames: the
+        # full 1080p frame stack is GBs, and fetching it to host over a
+        # tunneled backend takes minutes)
+        decode = make_decode_fn(cfg)
         t0 = time.perf_counter()
         for i0 in range(0, n, bsz):
             chunk = t_all[i0 : i0 + bsz]
@@ -122,20 +120,10 @@ def main(argv=None) -> dict:
         print(f"wrote {n} frames to {a.out} in {wall:.2f}s (incl. PNG encode)")
         result["dump_seconds"] = wall
     else:
-        # pure decode throughput: whole video in one dispatch, scalar
-        # checksum fetch forces completion (block_until_ready returns
-        # early on tunneled backends)
-        n_batches = max(n // bsz, 1)
-        t_mat = jnp.asarray(t_all[: n_batches * bsz]).reshape(n_batches, bsz)
-        decode_all = make_video_decode_fn(cfg, keep_frames=False)
-        float(jnp.sum(decode_all(params, t_mat)))  # compile
-        times = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            float(jnp.sum(decode_all(params, t_mat + i * 1e-7)))
-            times.append(time.perf_counter() - t0)
-        fps = n_batches * bsz / min(times)
-        print(f"decoded {n_batches * bsz} frames at {fps:.1f} fps")
+        # pure decode throughput: same harness as the eval CLI
+        fps = measure_decode_fps(params, cfg, t_all, bsz)
+        n_timed = max(n // bsz, 1) * bsz
+        print(f"decoded {n_timed} frames at {fps:.1f} fps")
         result["fps"] = fps
     return result
 

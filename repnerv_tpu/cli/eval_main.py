@@ -144,31 +144,20 @@ def run_eval(cfg: TrainConfig) -> dict:
 
     # decode-throughput measurement: the whole validation set in one
     # dispatch (serving shape), repeated; scalar fetch forces completion
-    from ..train.loop import make_video_decode_fn
+    from ..train.loop import decode_batch_cap, measure_decode_fps
 
-    # decode batch: amortize dispatch, but cap activation HBM — stage
-    # buffers scale with bsz * H * W and a 1080p batch of 8 exhausted the
-    # chip during the whole-video scan (RESOURCE_EXHAUSTED, round 2)
-    px = val_store.hw[0] * val_store.hw[1]
-    bsz = min(max(cfg.data.batch_size, 8), max(8 * 921600 // px, 1))
-    n_batches = max(val_store.num_samples // bsz, 1)
-    t_mat = jnp.asarray(
-        val_store.t[val_store.sample_indices()[: n_batches * bsz]], jnp.float32
-    ).reshape(n_batches, bsz)
-    decode_all = make_video_decode_fn(eval_cfg, keep_frames=False)
-    float(jnp.sum(decode_all(params, t_mat)))  # compile
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        float(jnp.sum(decode_all(params, t_mat + i * 1e-7)))
-        times.append(time.perf_counter() - t0)
-    fps = n_batches * bsz / min(times)
+    bsz = decode_batch_cap(
+        *val_store.hw, base=max(cfg.data.batch_size, 8)
+    )
+    fps = measure_decode_fps(
+        params, eval_cfg, val_store.t[val_store.sample_indices()], bsz
+    )
 
     # single-frame micro-bench (reference main_eval.py:767-784: 5 warmup +
     # 50 timed single-frame forwards).  The per-dispatch host RTT dominates
     # on tunneled backends, so this is a latency surface — the whole-video
     # number above is the throughput surface.
-    t_one = t_mat.reshape(-1)[:1]
+    t_one = jnp.asarray(val_store.t[val_store.sample_indices()[:1]], jnp.float32)
     for _ in range(5):
         float(decode(params, t_one)[1])
     micro_t0 = time.perf_counter()

@@ -116,7 +116,12 @@ class HuffmanCodec:
         # streams (same fix as rans.py encode)
         sym_arr = np.asarray(syms)
         order = np.argsort(sym_arr, kind="stable").astype(np.int32)
-        idx = order[np.searchsorted(sym_arr[order], arr)]
+        pos = np.searchsorted(sym_arr[order], arr)
+        if pos.size and int(pos.max()) >= len(order):
+            raise KeyError("symbol(s) above the codec table's range")
+        idx = order[pos]
+        if (sym_arr[idx] != arr).any():  # same guard as rans.py encode
+            raise KeyError("symbol(s) not present in the codec table")
         packed = native_encode(idx, lens, codes)
         if packed is not None:
             return packed

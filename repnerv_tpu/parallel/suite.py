@@ -135,6 +135,12 @@ def suite_perms(
             (cfg.manual_seed + v) * 100003 + epoch
         )
         n_samples = n_frames[v] // gap
+        if n_samples <= 0:
+            raise ValueError(
+                f"suite video {v} has {n_frames[v]} frames < frame_gap "
+                f"{gap}: no trainable samples (the cycling draw below "
+                "would never terminate)"
+            )
         # rng.permutation(n) draws identically to rng.shuffle(arange(n)),
         # so scaling by gap reproduces run_fused_epoch's shuffled
         # sample_indices() exactly

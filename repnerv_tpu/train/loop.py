@@ -270,6 +270,35 @@ def make_video_decode_fn(cfg: TrainConfig, *, keep_frames: bool = True):
     return jax.jit(decode_all)
 
 
+def decode_batch_cap(h: int, w: int, base: int = 8) -> int:
+    """HBM-safe decode batch size: amortize dispatch but cap activation
+    memory — stage buffers scale with bsz*H*W, and a 1080p batch of 8
+    exhausted the chip during the whole-video scan (RESOURCE_EXHAUSTED,
+    round 2).  Shared by the eval and serving CLIs so the cap cannot
+    drift between them."""
+    return min(max(base, 1), max(base * 921600 // (h * w), 1))
+
+
+def measure_decode_fps(params, cfg: TrainConfig, t_all, bsz: int, reps: int = 3) -> float:
+    """Whole-video decode throughput: ONE ``lax.scan`` dispatch per rep,
+    scalar checksum fetch per rep (``block_until_ready`` returns early on
+    tunneled backends — the 4-byte fetch forces completion).  The t
+    perturbation defeats any result cache between reps."""
+    import time
+
+    t_all = np.asarray(t_all, np.float32)
+    n_batches = max(len(t_all) // bsz, 1)
+    t_mat = jnp.asarray(t_all[: n_batches * bsz]).reshape(n_batches, bsz)
+    decode_all = make_video_decode_fn(cfg, keep_frames=False)
+    float(jnp.sum(decode_all(params, t_mat)))  # compile
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(decode_all(params, t_mat + i * 1e-7)))
+        times.append(time.perf_counter() - t0)
+    return n_batches * bsz / min(times)
+
+
 @dataclass
 class EpochMetrics:
     psnr: np.ndarray  # [n_stage]

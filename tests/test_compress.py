@@ -377,3 +377,16 @@ def test_decode_cli_standalone(tmp_path):
 
     r2 = main([path, "--frames", "4"])
     assert np.isfinite(r2["fps"]) and r2["fps"] > 0
+
+
+def test_huffman_encode_rejects_unknown_symbols():
+    """encode() must raise on symbols absent from the codec table — the
+    searchsorted fast path silently mapped them to a neighboring symbol
+    (corrupt bitstream that decodes without error; code-review r3)."""
+    codec = HuffmanCodec.from_frequencies({1.0: 3, 2.0: 2, 4.0: 1})
+    blob, _ = codec.encode(np.asarray([1.0, 2.0, 4.0]))  # in-table ok
+    assert blob
+    with pytest.raises(KeyError):
+        codec.encode(np.asarray([1.0, 3.0, 4.0]))  # 3.0 not in table
+    with pytest.raises(KeyError):
+        codec.encode(np.asarray([5.0]))  # above the table's range

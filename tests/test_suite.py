@@ -355,3 +355,16 @@ def test_suite_cli_parallel_mode(tmp_path):
     )
     assert result["mode"] == "parallel" and len(result["videos"]) == 8
     assert all(np.isfinite(r["psnr"]) for r in result["videos"])
+
+
+def test_suite_perms_rejects_video_shorter_than_gap():
+    """A video with fewer frames than frame_gap has zero trainable samples;
+    the cycling draw must raise, not spin forever (code-review r3)."""
+    import dataclasses
+
+    cfg = tiny_train()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, frame_gap=4)
+    )
+    with pytest.raises(ValueError, match="frame_gap"):
+        suite_perms(cfg, 2, [16, 3], 2, epoch=0)
