@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--decode_int8", action="store_true",
         help="int8-MXU trailing stages (calibrated on the first frames)",
     )
+    p.add_argument(
+        "--mesh_shape", type=int, nargs="*", default=None,
+        help="decode over a device mesh, e.g. --mesh_shape 8: each scan "
+        "step's frame batch shards over the data axis (serving scale-out)",
+    )
     return p
 
 
@@ -94,7 +99,21 @@ def main(argv=None) -> dict:
 
     h, w = output_hw(mcfg)
     n = a.frames
-    bsz = min(a.batch or decode_batch_cap(h, w), n)
+    mesh = None
+    if a.mesh_shape is not None:
+        from ..parallel.sharding import make_mesh
+
+        mesh = make_mesh(tuple(a.mesh_shape), ("data",))
+        n_dev = dict(mesh.shape).get("data", 1)
+        # per-device HBM cap scales out: n_dev chips hold n_dev x the
+        # stage buffers, and the batch column must divide by the axis
+        if n < n_dev:
+            build_parser().error(f"--frames {n} < data-axis size {n_dev}")
+        bsz = max(a.batch or decode_batch_cap(h, w) * n_dev, n_dev)
+        bsz = min((bsz // n_dev) * n_dev, (n // n_dev) * n_dev)
+        print(f"decoding over a {dict(mesh.shape)} mesh, batch {bsz}")
+    else:
+        bsz = min(a.batch or decode_batch_cap(h, w), n)
     t_all = np.arange(n, dtype=np.float32) / n
 
     result = {"frames": n, "hw": [h, w], "batch": bsz}
@@ -121,7 +140,7 @@ def main(argv=None) -> dict:
         result["dump_seconds"] = wall
     else:
         # pure decode throughput: same harness as the eval CLI
-        fps = measure_decode_fps(params, cfg, t_all, bsz)
+        fps = measure_decode_fps(params, cfg, t_all, bsz, mesh=mesh)
         n_timed = max(n // bsz, 1) * bsz
         print(f"decoded {n_timed} frames at {fps:.1f} fps")
         result["fps"] = fps

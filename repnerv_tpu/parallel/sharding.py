@@ -305,6 +305,48 @@ def make_sharded_epoch_fn(
     return run
 
 
+def make_sharded_video_decode_fn(
+    cfg: TrainConfig, mesh: Mesh, *, keep_frames: bool = False
+):
+    """Whole-video decode in ONE dispatch over a device mesh.
+
+    Same surface as ``train.loop.make_video_decode_fn`` — ``lax.scan`` over
+    ``t_batches [n_batches, B]`` — but each scan step's batch column shards
+    over the ``"data"`` axis: N chips render N× the frames per step with
+    params replicated and no collectives in the loop body (the per-step
+    checksum reduce is the only cross-chip op, and only when
+    ``keep_frames=False``).  This is the serving scale-out: decode
+    throughput is embarrassingly parallel across frames, so fps scales with
+    the mesh where the reference serves from one GPU
+    (main_eval.py:744-762).  B must divide by the data-axis size.
+    """
+    from ..models.embedding import positional_encoding
+    from ..models.generator import apply_generator
+
+    mcfg = cfg.model
+
+    def decode_all(params, t_batches):
+        def body(_, t):
+            embed = positional_encoding(t, mcfg.embed)
+            out = apply_generator(params, embed, mcfg, train=False)[-1]
+            return None, (out if keep_frames else jnp.sum(out))
+
+        _, ys = jax.lax.scan(body, None, t_batches)
+        return ys
+
+    jitted = jax.jit(decode_all)
+    col_spec = P(None, "data") if "data" in mesh.axis_names else P()
+
+    def run(params, t_batches):
+        params = replicate(params, mesh)
+        t_batches = jax.device_put(
+            jnp.asarray(t_batches, jnp.float32), NamedSharding(mesh, col_spec)
+        )
+        return jitted(params, t_batches)
+
+    return run
+
+
 def make_sharded_decode(cfg: TrainConfig, mesh: Mesh):
     """Data-parallel decode: a batch of frame indices shards over the mesh,
     each chip renders its frames (the reference decodes one frame at a time

@@ -279,17 +279,27 @@ def decode_batch_cap(h: int, w: int, base: int = 8) -> int:
     return min(max(base, 1), max(base * 921600 // (h * w), 1))
 
 
-def measure_decode_fps(params, cfg: TrainConfig, t_all, bsz: int, reps: int = 3) -> float:
+def measure_decode_fps(
+    params, cfg: TrainConfig, t_all, bsz: int, reps: int = 3, mesh=None
+) -> float:
     """Whole-video decode throughput: ONE ``lax.scan`` dispatch per rep,
     scalar checksum fetch per rep (``block_until_ready`` returns early on
     tunneled backends — the 4-byte fetch forces completion).  The t
-    perturbation defeats any result cache between reps."""
+    perturbation defeats any result cache between reps.  With ``mesh``,
+    each scan step's batch column shards over the mesh's data axis
+    (``parallel.sharding.make_sharded_video_decode_fn``) — bsz must then
+    divide by the axis size."""
     import time
 
     t_all = np.asarray(t_all, np.float32)
     n_batches = max(len(t_all) // bsz, 1)
     t_mat = jnp.asarray(t_all[: n_batches * bsz]).reshape(n_batches, bsz)
-    decode_all = make_video_decode_fn(cfg, keep_frames=False)
+    if mesh is not None:
+        from ..parallel.sharding import make_sharded_video_decode_fn
+
+        decode_all = make_sharded_video_decode_fn(cfg, mesh, keep_frames=False)
+    else:
+        decode_all = make_video_decode_fn(cfg, keep_frames=False)
     float(jnp.sum(decode_all(params, t_mat)))  # compile
     times = []
     for i in range(reps):
