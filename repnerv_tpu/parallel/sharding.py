@@ -313,9 +313,8 @@ def make_sharded_video_decode_fn(
     Same surface as ``train.loop.make_video_decode_fn`` — ``lax.scan`` over
     ``t_batches [n_batches, B]`` — but each scan step's batch column shards
     over the ``"data"`` axis: N chips render N× the frames per step with
-    params replicated and no collectives in the loop body (the per-step
-    checksum reduce is the only cross-chip op, and only when
-    ``keep_frames=False``).  This is the serving scale-out: decode
+    params replicated; the per-step checksum psum (only when
+    ``keep_frames=False``) is the sole collective.  This is the serving scale-out: decode
     throughput is embarrassingly parallel across frames, so fps scales with
     the mesh where the reference serves from one GPU
     (main_eval.py:744-762).  B must divide by the data-axis size.
@@ -324,18 +323,44 @@ def make_sharded_video_decode_fn(
     from ..models.generator import apply_generator
 
     mcfg = cfg.model
+    axis = "data" if "data" in mesh.axis_names else None
 
     def decode_all(params, t_batches):
         def body(_, t):
             embed = positional_encoding(t, mcfg.embed)
             out = apply_generator(params, embed, mcfg, train=False)[-1]
-            return None, (out if keep_frames else jnp.sum(out))
+            if keep_frames:
+                return None, out
+            s = jnp.sum(out)
+            return None, (jax.lax.psum(s, axis) if axis else s)
 
         _, ys = jax.lax.scan(body, None, t_batches)
         return ys
 
-    jitted = jax.jit(decode_all)
-    col_spec = P(None, "data") if "data" in mesh.axis_names else P()
+    if axis is None:
+        return jax.jit(decode_all)
+
+    # shard_map, not GSPMD jit: the body runs per-device on its local frame
+    # shard, so the Pallas decode kernels (opaque to the GSPMD partitioner)
+    # stay on the fast path; the psum checksum is the only collective
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    col_spec = P(None, axis)
+    sm_kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), col_spec),
+        out_specs=col_spec if keep_frames else P(),
+    )
+    try:
+        # pallas_call outputs carry no varying-mesh-axes metadata; skip the
+        # replication check (our specs are pinned by the equality test)
+        sm = shard_map(decode_all, check_vma=False, **sm_kwargs)
+    except TypeError:  # pragma: no cover — older jax spells it check_rep
+        sm = shard_map(decode_all, check_rep=False, **sm_kwargs)
+    jitted = jax.jit(sm)
 
     def run(params, t_batches):
         params = replicate(params, mesh)
