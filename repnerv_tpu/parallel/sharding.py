@@ -373,20 +373,14 @@ def make_sharded_video_decode_fn(
 
 
 def make_sharded_decode(cfg: TrainConfig, mesh: Mesh):
-    """Data-parallel decode: a batch of frame indices shards over the mesh,
-    each chip renders its frames (the reference decodes one frame at a time
-    on one GPU, main_eval.py:744-762)."""
-    from ..models.embedding import positional_encoding
-    from ..models.generator import apply_generator
+    """Data-parallel single-batch decode: a batch of frame times shards over
+    the mesh, each chip renders its frames (the reference decodes one frame
+    at a time on one GPU, main_eval.py:744-762).  Delegates to the
+    shard_map whole-video scan with one step so the Pallas fast path stays
+    intact under sharding."""
+    run = make_sharded_video_decode_fn(cfg, mesh, keep_frames=True)
 
     def decode(params, t):
-        embed = positional_encoding(t, cfg.model.embed)
-        return apply_generator(params, embed, cfg.model, train=False)[-1]
+        return run(params, jnp.asarray(t, jnp.float32).reshape(1, -1))[0]
 
-    jitted = jax.jit(decode)
-
-    def run(params, t):
-        t = jax.device_put(jnp.asarray(t), NamedSharding(mesh, batch_spec(mesh)))
-        return jitted(params, t)
-
-    return run
+    return decode
