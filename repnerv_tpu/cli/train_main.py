@@ -149,19 +149,27 @@ def run_training(cfg: TrainConfig) -> dict:
         else:
             fused = False
             train_step = make_sharded_train_step(cfg, steps_per_epoch, mesh)
+        # the in-train eval jits over the SHARDED params (GSPMD): keep the
+        # Mosaic kernels out of that graph too (parallel/sharding.py
+        # _gspmd_safe_cfg rationale)
+        from ..parallel.sharding import _gspmd_safe_cfg
+
+        eval_cfg, eval_pallas_ok = _gspmd_safe_cfg(cfg, mesh)
     elif fused:
         # whole-epoch scan: one dispatch per epoch over the HBM-resident video
         train_step = make_epoch_fn(cfg, steps_per_epoch, with_msssim=with_msssim)
     else:
         train_step = make_train_step(cfg, steps_per_epoch, with_msssim=with_msssim)
-    eval_step = make_eval_step(cfg, with_msssim=with_msssim)
+    if not use_mesh:
+        eval_cfg, eval_pallas_ok = cfg, True
+    eval_step = make_eval_step(eval_cfg, with_msssim=with_msssim, pallas_ok=eval_pallas_ok)
     # built once: a fresh make_video_decode_fn per eval epoch would retrace
     # the whole-video scan on every eval (incl. each of the final 10 epochs)
     fps_decode_all = None
     if cfg.eval_fps:
         from ..train.loop import make_video_decode_fn
 
-        fps_decode_all = make_video_decode_fn(cfg, keep_frames=False)
+        fps_decode_all = make_video_decode_fn(eval_cfg, keep_frames=False)
     # On-device snapshot for deferred best-checkpoint writes: +0 under jit
     # forces fresh output buffers (outputs never alias inputs without
     # donation), so the copy survives the next epoch's donated update.

@@ -33,7 +33,11 @@ def psnr_fn(output_list: Sequence[jnp.ndarray], target_list: Sequence[jnp.ndarra
     return jnp.broadcast_to(row[None, :], (b, row.shape[0]))
 
 
-def msssim_fn(output_list: Sequence[jnp.ndarray], target_list: Sequence[jnp.ndarray]) -> jnp.ndarray:
+def msssim_fn(
+    output_list: Sequence[jnp.ndarray],
+    target_list: Sequence[jnp.ndarray],
+    pallas_ok: bool = True,
+) -> jnp.ndarray:
     """Per-stage MS-SSIM -> [B, n_stage]; 0 where the stage is too small.
 
     Gate: ``min(H, W) > 160`` — the hard constraint of 5-level MS-SSIM with
@@ -52,6 +56,7 @@ def msssim_fn(output_list: Sequence[jnp.ndarray], target_list: Sequence[jnp.ndar
                     tgt.astype(jnp.float32),
                     data_range=1.0,
                     size_average=True,
+                    pallas_ok=pallas_ok,
                 )
             )
         else:

@@ -156,10 +156,15 @@ def ssim(
     win_sigma: float = 1.5,
     k: Tuple[float, float] = (0.01, 0.03),
     size_average: bool = True,
+    pallas_ok: bool = True,
 ) -> jnp.ndarray:
-    """SSIM over NHWC images.  ``size_average`` mirrors pytorch_msssim."""
+    """SSIM over NHWC images.  ``size_average`` mirrors pytorch_msssim.
+
+    ``pallas_ok=False`` forces the plain-XLA blur lowering — required when
+    this traces inside a GSPMD-jitted multi-device graph, where the
+    partitioner cannot shard a Mosaic ``pallas_call``."""
     win = _gaussian_window(win_size, win_sigma)
-    win_t = ssim_blur.window_tuple(win_size, win_sigma)
+    win_t = ssim_blur.window_tuple(win_size, win_sigma) if pallas_ok else None
     per_channel, _ = _ssim_maps(x, y, win, data_range, k, win_t=win_t)
     per_image = jnp.mean(per_channel, axis=-1)
     return jnp.mean(per_image) if size_average else per_image
@@ -190,6 +195,7 @@ def ms_ssim(
     k: Tuple[float, float] = (0.01, 0.03),
     weights: Tuple[float, ...] = MS_WEIGHTS,
     size_average: bool = True,
+    pallas_ok: bool = True,
 ) -> jnp.ndarray:
     """Multi-scale SSIM, NHWC.  Requires min(H, W) > (win_size-1) * 2**4
     for the default 5 levels (the reference gates usage on H >= 160,
@@ -202,7 +208,7 @@ def ms_ssim(
             f"win_size={win_size}; need > {(win_size - 1) * 2 ** (levels - 1)}"
         )
     win = _gaussian_window(win_size, win_sigma)
-    win_t = ssim_blur.window_tuple(win_size, win_sigma)
+    win_t = ssim_blur.window_tuple(win_size, win_sigma) if pallas_ok else None
     mcs = []
     ssim_pc = None
     for i in range(levels):

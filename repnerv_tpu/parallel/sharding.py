@@ -204,6 +204,25 @@ def make_sharded_train_state(key, cfg: TrainConfig, mesh: Mesh, tensor_parallel=
     return TrainState(params, opt_state, replicate(jnp.asarray(0, jnp.int32), mesh))
 
 
+def _gspmd_safe_cfg(cfg: TrainConfig, mesh: Mesh) -> tuple:
+    """(cfg, pallas_ok) for a GSPMD-jitted graph over ``mesh``.
+
+    Mosaic ``pallas_call``s are opaque to the GSPMD partitioner — on a
+    >1-device mesh they must not appear inside the sharded jit (the decode
+    scan avoids this by using shard_map; the train/eval graphs are GSPMD so
+    XLA can shard the tp'd convs).  Forces the plain XLA lowerings for the
+    generator fast paths and returns ``pallas_ok=False`` for the SSIM blur
+    in loss/metrics.  A 1-device mesh keeps every kernel."""
+    import dataclasses
+
+    if mesh.size <= 1:
+        return cfg, True
+    model = dataclasses.replace(
+        cfg.model, use_pallas_train=False, use_pallas_decode=False
+    )
+    return dataclasses.replace(cfg, model=model), False
+
+
 def make_sharded_train_step(
     cfg: TrainConfig,
     steps_per_epoch: int,
@@ -216,7 +235,8 @@ def make_sharded_train_step(
     so GSPMD propagates layouts and inserts the ICI collectives."""
     from ..train.loop import build_train_step_fn
 
-    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+    cfg, pallas_ok = _gspmd_safe_cfg(cfg, mesh)
+    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim, pallas_ok=pallas_ok)
     jitted = jax.jit(step_fn, donate_argnums=(0,))
 
     def run(state, frames, t, masks=None):
@@ -252,7 +272,8 @@ def make_sharded_epoch_fn(
     """
     from ..train.loop import build_train_step_fn
 
-    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+    cfg, pallas_ok = _gspmd_safe_cfg(cfg, mesh)
+    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim, pallas_ok=pallas_ok)
 
     def epoch_fn(state, video_u8, perm, t_all, masks):
         def body(state, rows):

@@ -72,6 +72,7 @@ def build_train_step_fn(
     steps_per_epoch: int,
     with_msssim: bool = True,
     param_transform=None,
+    pallas_ok: bool = True,
 ):
     """The raw (unjitted) train step:
     (state, frames [B,H,W,3] f32, t [B], masks|None) -> (state, aux dict).
@@ -98,7 +99,7 @@ def build_train_step_fn(
         embed = positional_encoding(t, mcfg.embed)
         outs = apply_generator(params, embed, mcfg, train=True)
         targets = [adaptive_avg_pool(frames, o.shape[1:3]) for o in outs]
-        loss = multi_scale_loss(outs, targets, cfg.loss_type, cfg.lw)
+        loss = multi_scale_loss(outs, targets, cfg.loss_type, cfg.lw, pallas_ok)
         return loss, (outs, targets)
 
     def step_fn(state: TrainState, frames, t, masks):
@@ -133,7 +134,7 @@ def build_train_step_fn(
             "psnr": jnp.mean(psnr_fn(outs, targets), axis=0),
         }
         if with_msssim:
-            aux["msssim"] = jnp.mean(msssim_fn(outs, targets), axis=0)
+            aux["msssim"] = jnp.mean(msssim_fn(outs, targets, pallas_ok), axis=0)
         return TrainState(new_params, opt_state, state.step + 1), aux
 
     return step_fn
@@ -221,7 +222,7 @@ def run_fused_epoch(
     )
 
 
-def make_eval_step(cfg: TrainConfig, with_msssim: bool = True):
+def make_eval_step(cfg: TrainConfig, with_msssim: bool = True, pallas_ok: bool = True):
     mcfg = cfg.model
 
     def eval_fn(params, frames, t):
@@ -230,7 +231,7 @@ def make_eval_step(cfg: TrainConfig, with_msssim: bool = True):
         targets = [adaptive_avg_pool(frames, o.shape[1:3]) for o in outs]
         aux = {"psnr": psnr_fn(outs, targets)}
         if with_msssim:
-            aux["msssim"] = msssim_fn(outs, targets)
+            aux["msssim"] = msssim_fn(outs, targets, pallas_ok)
         return outs, aux
 
     return jax.jit(eval_fn)

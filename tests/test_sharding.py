@@ -225,3 +225,42 @@ def test_decode_cli_mesh(tmp_path):
     r = main([path, "--frames", "16", "--mesh_shape", "8"])
     assert np.isfinite(r["fps"]) and r["fps"] > 0
     assert r["batch"] % 8 == 0
+
+
+def test_sharded_epoch_never_traces_pallas_blur(monkeypatch):
+    """GSPMD cannot partition a Mosaic pallas_call: the sharded train step
+    must trace the SSIM loss through the plain-XLA blur.  INTERPRET=True
+    makes the gate *want* the kernel; the poisoned kernel entry proves the
+    >1-device factory never reaches it (a 1-device mesh still may)."""
+    from repnerv_tpu.ops import ssim as ssim_mod
+    from repnerv_tpu.pallas_kernels import ssim_blur as sb
+    from repnerv_tpu.parallel.sharding import make_sharded_epoch_fn
+    from repnerv_tpu.train.loop import run_fused_epoch
+    from repnerv_tpu.config import DataConfig
+
+    monkeypatch.setattr(sb, "INTERPRET", True)
+
+    def _boom(*a, **k):
+        raise AssertionError("pallas blur traced inside a sharded graph")
+
+    monkeypatch.setattr(ssim_mod, "_ssim_maps_pallas", _boom)
+
+    # control: single-device ssim at >=96x96 WOULD take the kernel path
+    big = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    with pytest.raises(AssertionError, match="sharded graph"):
+        ssim_mod.ssim(big, big)
+
+    cfg = tiny_train(
+        model=tiny_model(fc_hw_dim="6_6_4", strides=(4, 4)),
+        data=DataConfig(
+            synthetic_frames=8, synthetic_hw=(96, 96), batch_size=8,
+            cache_device=False,
+        ),
+        loss_type="Fusion6",
+    )
+    store = make_store(cfg)
+    mesh = make_mesh((8,), ("data",))
+    state = make_sharded_train_state(jax.random.PRNGKey(0), cfg, mesh)
+    epoch_fn = make_sharded_epoch_fn(cfg, steps_per_epoch=1, mesh=mesh)
+    state, m = run_fused_epoch(state, epoch_fn, store, cfg, epoch=0)
+    assert np.isfinite(np.asarray(m.loss)).all()
