@@ -128,3 +128,45 @@ def test_generator_int8_path_end_to_end(monkeypatch):
     assert err < 0.08, err
     psnr = -10.0 * float(jnp.log10(jnp.mean((out - ref) ** 2) + 1e-12))
     assert psnr > 35.0, psnr
+
+
+def test_int8_sharded_video_decode_matches_single_device(monkeypatch):
+    """The int8 serving path composes with the mesh-sharded whole-video
+    scan: per-device shard_map bodies run the (interpret-mode) int8 kernels
+    and the sharded frames equal the single-device decode exactly."""
+    from repnerv_tpu.config import TrainConfig
+    from repnerv_tpu.models.embedding import positional_encoding
+    from repnerv_tpu.models.generator import (
+        calibrate_int8,
+        generator_to_deploy,
+        init_generator,
+    )
+    import repnerv_tpu.models.generator as gen
+    from repnerv_tpu.parallel.sharding import make_mesh, make_sharded_video_decode_fn
+    from repnerv_tpu.train.loop import make_video_decode_fn
+    from test_model_train import tiny_model
+
+    orig = d8.fused_conv_ps_act_int8
+    monkeypatch.setattr(
+        d8,
+        "fused_conv_ps_act_int8",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    monkeypatch.setattr(gen, "PALLAS_REQUIRE_TPU", False)
+
+    mcfg = tiny_model(
+        branch_type="ERB", fc_hw_dim="6_8_8", strides=(2, 2, 2), lower_width=8
+    )
+    params = init_generator(jax.random.PRNGKey(5), mcfg)
+    dep, dep_cfg = generator_to_deploy(params, mcfg)
+    dep_cfg = dataclasses.replace(dep_cfg, use_pallas_decode=False)
+    calib = positional_encoding(jnp.linspace(0, 1, 4), mcfg.embed)
+    dep8 = calibrate_int8(dep, dep_cfg, calib)
+    assert "int8" in dep8
+    cfg = TrainConfig(model=dataclasses.replace(dep_cfg, decode_int8=True))
+
+    t_mat = jnp.linspace(0, 1, 16).reshape(2, 8)
+    ref = make_video_decode_fn(cfg, keep_frames=True)(dep8, t_mat)
+    mesh = make_mesh((8,), ("data",))
+    out = make_sharded_video_decode_fn(cfg, mesh, keep_frames=True)(dep8, t_mat)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
