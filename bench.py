@@ -27,7 +27,10 @@ def main():
     from repnerv_tpu.models.generator import generator_to_deploy, init_generator
     from repnerv_tpu.train.loop import make_video_decode_fn
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", 256))
+    # 1024 frames: at ~530 fps a 256-frame scan finishes in ~0.5 s, so the
+    # ~30-50 ms per-dispatch tunnel RTT was ~7% of the measurement; the
+    # longer video amortizes it away (measured 548 vs 527 fps, same kernels)
+    n_frames = int(os.environ.get("BENCH_FRAMES", 1024))
     batch = int(os.environ.get("BENCH_BATCH", 32))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # int8 MXU decode for the trailing blocks is the default serving path:
