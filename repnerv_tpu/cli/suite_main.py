@@ -60,11 +60,17 @@ def _suite_stores(cfg: TrainConfig, n_videos: int) -> list:
     """
     stores = []
     if cfg.data.dataset == "synth" or (
-        cfg.data.dataset == "photo" and cfg.data.synthetic_frames > 0
+        cfg.data.dataset in ("photo", "corpus") and cfg.data.synthetic_frames > 0
     ):
         # photo -> distinct content transform + camera path per seed
-        # (data/frames.py photo_video); synth -> distinct value-noise draw
-        gen = photo_video if cfg.data.dataset == "photo" else synthetic_video
+        # (data/frames.py photo_video); corpus -> a different CONTENT CLASS
+        # per video (photo/MRI/terrain/text, data/frames.py corpus_video);
+        # synth -> distinct value-noise draw
+        from ..data.frames import corpus_video
+
+        gen = {
+            "photo": photo_video, "corpus": corpus_video
+        }.get(cfg.data.dataset, synthetic_video)
         h, w = cfg.data.synthetic_hw
         for v in range(n_videos):
             frames, t = gen(
@@ -134,8 +140,27 @@ def _measure_video(
     row: dict = {"video": v}
     if cfg.quant_bit != -1 or cfg.prune_ratio < 1.0:
         ccfg = dataclasses.replace(cfg, model=mcfg, finetune=False)
-        params, report = compress(params, ccfg, store, deploy_after=False)
+        # one decodable artifact per suite video, like the reference's
+        # one-checkpoint-per-UVG-video output layout (README.md:63-111)
+        bitstream_path = None
+        if cfg.save_bitstream and cfg.quant_bit != -1:
+            outdir = os.path.join(cfg.outf or "result/suite", "bitstreams")
+            os.makedirs(outdir, exist_ok=True)
+            bitstream_path = os.path.join(
+                outdir, f"video{v}_q{cfg.quant_bit}.rnvb"
+            )
+        params, report = compress(
+            params, ccfg, store, deploy_after=False,
+            bitstream_path=bitstream_path,
+        )
         row.update(bpp=report.bpp, efficiency=report.efficiency)
+        if bitstream_path:
+            acct = report.extras["bitstream"]
+            row.update(
+                rnvb=bitstream_path,
+                rnvb_bytes=int(acct["file_bytes"]),
+                bpp_all_in=float(acct.get("bpp_all_in", 0.0)),
+            )
     from ..train.loop import evaluate, make_eval_step
 
     ecfg = dataclasses.replace(cfg, model=mcfg)
