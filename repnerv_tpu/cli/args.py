@@ -28,6 +28,11 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, default="data")  # ours (ref hardcodes ../data)
     p.add_argument("--synthetic_frames", type=int, default=0)
     p.add_argument("--synthetic_hw", type=int, nargs=2, default=[720, 1280])
+    # out-of-core (ours; the reference streams per-item from disk instead,
+    # model.py:52-70 — see DataConfig for the three-rung ladder)
+    p.add_argument("--hbm_budget_mb", type=int, default=-1)
+    p.add_argument("--host_budget_mb", type=int, default=0)
+    p.add_argument("--stream_chunk_mb", type=int, default=256)
 
     # architecture
     p.add_argument("--embed", type=str, default="1.25_80")
@@ -182,6 +187,9 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         batch_size=a.batchSize,
         synthetic_frames=a.synthetic_frames,
         synthetic_hw=tuple(a.synthetic_hw),
+        hbm_budget_mb=a.hbm_budget_mb,
+        host_budget_mb=a.host_budget_mb,
+        stream_chunk_mb=a.stream_chunk_mb,
     )
     return TrainConfig(
         model=model,

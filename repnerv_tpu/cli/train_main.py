@@ -118,6 +118,9 @@ def run_training(cfg: TrainConfig) -> dict:
         maybe_initialize_distributed()
     use_mesh = bool(cfg.mesh_shape) and len(jax.devices()) > 1
     fused = cfg.fused_epoch and not cfg.profile
+    # out-of-core: the store spilled to host (or disk) because the video
+    # exceeds the HBM budget (data/frames.py make_frame_store)
+    host_store = not isinstance(store.frames, jax.Array)
     # one rule everywhere: MS-SSIM is computable iff min side > 160
     # (ops/metrics.py gate; cf. ADVICE.md round 1 on the 176-vs-160 mismatch)
     with_msssim = min(store.hw) > 160
@@ -139,6 +142,18 @@ def run_training(cfg: TrainConfig) -> dict:
         else:
             state = make_sharded_train_state(key, cfg, mesh)
         data_size = dict(mesh.shape).get("data", 1)
+        if fused and host_store:
+            # replicating an over-HBM-budget video into every device is the
+            # exact allocation the spill avoided; per-step dispatch gathers
+            # per batch from the host instead
+            log_line(
+                outf,
+                0,
+                "WARNING: video is host-resident (over the HBM budget); "
+                "falling back from the fused whole-epoch scan to per-step "
+                "dispatch under the mesh",
+            )
+            fused = False
         if fused and cfg.data.batch_size % max(data_size, 1) == 0:
             # whole-epoch scan over the mesh: one dispatch per epoch with
             # the batch columns sharded over "data" (round 2 fell back to
@@ -167,6 +182,14 @@ def run_training(cfg: TrainConfig) -> dict:
         from ..parallel.sharding import _gspmd_safe_cfg
 
         eval_cfg, eval_pallas_ok = _gspmd_safe_cfg(cfg, mesh)
+    elif fused and host_store:
+        # out-of-core: stream pre-gathered batch chunks to the device —
+        # run_fused_epoch slices the epoch by DataConfig.stream_chunk_mb
+        from ..train.loop import make_streaming_epoch_fn
+
+        train_step = make_streaming_epoch_fn(
+            cfg, steps_per_epoch, with_msssim=with_msssim
+        )
     elif fused:
         # whole-epoch scan: one dispatch per epoch over the HBM-resident video
         train_step = make_epoch_fn(cfg, steps_per_epoch, with_msssim=with_msssim)

@@ -101,6 +101,20 @@ class DataConfig:
     synthetic_frames: int = 0
     synthetic_hw: Tuple[int, int] = (720, 1280)
     cache_device: bool = True  # keep the decoded video resident in HBM
+    # Out-of-core controls (the reference never materializes the video — each
+    # sample is a per-item PIL load, model.py:52-70 — so arbitrarily large
+    # videos train from disk; these give the TPU build the same reach):
+    #   hbm_budget_mb   -1 = auto (a fraction of the device's HBM), 0 = never
+    #                   spill; videos larger than the budget stay host-side
+    #                   and the fused epoch streams chunks to the device.
+    #   host_budget_mb  0 = unlimited; frame DIRECTORIES whose decoded size
+    #                   exceeds this stay on disk and decode lazily per
+    #                   gather (the reference's per-__getitem__ regime).
+    #   stream_chunk_mb per-dispatch pixel budget of the streaming fused
+    #                   epoch (one H2D + one scan per chunk).
+    hbm_budget_mb: int = -1
+    host_budget_mb: int = 0
+    stream_chunk_mb: int = 256
 
 
 @dataclass

@@ -186,6 +186,39 @@ def make_epoch_fn(
     return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
+def make_streaming_epoch_fn(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    with_msssim: bool = False,
+    param_transform=None,
+):
+    """Fused-epoch variant for HOST-resident videos (out-of-core): scans a
+    pre-gathered uint8 batch stack instead of indexing an HBM-resident
+    video.  :func:`run_fused_epoch` slices the epoch into chunks sized by
+    ``DataConfig.stream_chunk_mb`` — one H2D transfer + one scan dispatch
+    per chunk, so peak HBM holds a chunk of pixels, never the video.
+
+    Call: (state, frames_u8 [S, B, H, W, 3], t [S, B], masks) -> (state, aux).
+    ``steps_per_epoch`` still sizes the LR schedule (the full epoch, not the
+    chunk).
+    """
+    step_fn = build_train_step_fn(
+        cfg, steps_per_epoch, with_msssim, param_transform=param_transform
+    )
+
+    def epoch_fn(state: TrainState, frames_u8, t_mat, masks):
+        def body(state, xs):
+            frames, t = xs
+            state, aux = step_fn(
+                state, frames.astype(jnp.float32) / 255.0, t, masks
+            )
+            return state, aux
+
+        return jax.lax.scan(body, state, (frames_u8, t_mat))
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
 def run_fused_epoch(
     state: TrainState,
     epoch_fn,
@@ -204,13 +237,34 @@ def run_fused_epoch(
     n_steps = len(idx) // b
     if max_steps is not None:
         n_steps = min(n_steps, max_steps)
-    perm = jnp.asarray(idx[: n_steps * b].reshape(n_steps, b), jnp.int32)
-    t_all = jnp.asarray(store.t, jnp.float32)
-    # pass store.frames AS-IS: the mesh epoch runner caches its one-time
-    # replication by source identity (parallel/sharding.py _replicate_once),
-    # so minting a fresh jnp array here every epoch would re-transfer the
-    # full video each call; plain jit transfers host arrays itself.
-    state, aux = epoch_fn(state, store.frames, perm, t_all, masks)
+    if not isinstance(store.frames, jax.Array):
+        # out-of-core: the video lives on the host (or on disk, DirFrames);
+        # stream pre-gathered batch chunks — one H2D + one scan per chunk,
+        # peak HBM = one chunk of pixels.  epoch_fn here must be the
+        # streaming flavor (make_streaming_epoch_fn).
+        h, w = store.hw
+        per_step = b * h * w * 3  # uint8 bytes per batch
+        chunk = max(1, (cfg.data.stream_chunk_mb << 20) // max(per_step, 1))
+        rows_mat = idx[: n_steps * b].reshape(n_steps, b)
+        auxes = []
+        for s0 in range(0, n_steps, chunk):
+            rows = rows_mat[s0 : s0 + chunk]
+            pixels = np.stack([store.frames[r] for r in rows])  # [S,B,H,W,3]
+            t_mat = store.t[rows]
+            state, aux = epoch_fn(
+                state, jnp.asarray(pixels), jnp.asarray(t_mat, jnp.float32), masks
+            )
+            auxes.append(jax.tree.map(np.asarray, aux))
+        aux = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *auxes)
+    else:
+        perm = jnp.asarray(idx[: n_steps * b].reshape(n_steps, b), jnp.int32)
+        t_all = jnp.asarray(store.t, jnp.float32)
+        # pass store.frames AS-IS: the mesh epoch runner caches its one-time
+        # replication by source identity (parallel/sharding.py
+        # _replicate_once), so minting a fresh jnp array here every epoch
+        # would re-transfer the full video each call; plain jit transfers
+        # host arrays itself.
+        state, aux = epoch_fn(state, store.frames, perm, t_all, masks)
     psnr = np.asarray(aux["psnr"]).reshape(n_steps, -1).mean(0)
     msssim = (
         np.asarray(aux["msssim"]).reshape(n_steps, -1).mean(0)
