@@ -238,14 +238,22 @@ def make_sharded_train_step(
     mesh: Mesh,
     *,
     with_msssim: bool = False,
+    param_transform=None,
 ):
     """Jit the train step over ``mesh``.  Inputs are committed to their
     shardings (batch over "data", params per their specs) before the call,
-    so GSPMD propagates layouts and inserts the ICI collectives."""
+    so GSPMD propagates layouts and inserts the ICI collectives.
+
+    ``param_transform`` (e.g. compress/qat.py's fake-quant) traces into the
+    step exactly as in the single-device loop, so masked QAT finetuning runs
+    over the mesh too."""
     from ..train.loop import build_train_step_fn
 
     cfg, pallas_ok = _gspmd_safe_cfg(cfg, mesh)
-    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim, pallas_ok=pallas_ok)
+    step_fn = build_train_step_fn(
+        cfg, steps_per_epoch, with_msssim, pallas_ok=pallas_ok,
+        param_transform=param_transform,
+    )
     jitted = jax.jit(step_fn, donate_argnums=(0,))
 
     def run(state, frames, t, masks=None):

@@ -216,7 +216,13 @@ def make_streaming_epoch_fn(
 
         return jax.lax.scan(body, state, (frames_u8, t_mat))
 
-    return jax.jit(epoch_fn, donate_argnums=(0,))
+    jitted = jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def run(state, frames_u8, t_mat, masks):
+        return jitted(state, frames_u8, t_mat, masks)
+
+    run.streaming = True  # run_fused_epoch dispatches on this tag
+    return run
 
 
 def run_fused_epoch(
@@ -237,11 +243,12 @@ def run_fused_epoch(
     n_steps = len(idx) // b
     if max_steps is not None:
         n_steps = min(n_steps, max_steps)
-    if not isinstance(store.frames, jax.Array):
+    if getattr(epoch_fn, "streaming", False):
         # out-of-core: the video lives on the host (or on disk, DirFrames);
         # stream pre-gathered batch chunks — one H2D + one scan per chunk,
-        # peak HBM = one chunk of pixels.  epoch_fn here must be the
-        # streaming flavor (make_streaming_epoch_fn).
+        # peak HBM = one chunk of pixels.  epoch_fn is the streaming flavor
+        # (make_streaming_epoch_fn); resident-flavor fns take the whole
+        # video + perm regardless of where the store array lives.
         h, w = store.hw
         per_step = b * h * w * 3  # uint8 bytes per batch
         chunk = max(1, (cfg.data.stream_chunk_mb << 20) // max(per_step, 1))
