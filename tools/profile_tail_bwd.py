@@ -64,6 +64,19 @@ def main(argv=None):
         results[label] = round(ms, 3)
         print(f"{label:>22}: {ms:8.3f} ms   (compile {compile_s:.0f}s)", flush=True)
 
+    # per-iteration latency floor of a scan on this backend: an EMPTY body
+    # (and a tiny one) both measure ~1 ms/iter — the baseline every op
+    # group below pays on top of its real work (BENCHMARKS "b=1 training
+    # roofline")
+    def null_body(i):
+        return 0.0 * i
+
+    def tiny_body(i):
+        return jnp.sum(jnp.full((128, 128), 1.0) * i)
+
+    timed("null scan-iter", null_body)
+    timed("tiny scan-iter", tiny_body)
+
     key = jax.random.PRNGKey(0)
     for name, (H, W, Cin, Cout, s, with_head) in {
         "blk3": (180, 320, 96, 384, 2, False),
