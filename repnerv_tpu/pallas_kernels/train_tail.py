@@ -41,6 +41,16 @@ from .decode import shuffle_weight_permutation
 # tests monkeypatch these to exercise the kernel off-TPU
 INTERPRET = False
 
+# Round-4: the epilogue BACKWARD is fused too (one Pallas kernel per stage
+# computing squash'/head grads, the activation VJP, the shuffle-major ->
+# conv-order relayout, and the bias-grad partials); only the conv dX/dW
+# pair stays in XLA.  The round-4 roofline (BENCHMARKS "b=1 training
+# roofline") measured ~1 ms of dispatch/latency floor PER serial op group
+# on this backend — the XLA epilogue backward is 4-6 such groups per
+# trailing stage, all latency-bound at b=1.  Tests flip this off to pin
+# the two paths against each other.
+FUSED_BWD = True
+
 
 def _pick_tile_h(h: int, w: int, cin: int, cout: int, el_bytes: int) -> int:
     """Like decode._pick_tile_h but budgets the extra double-buffered
@@ -218,6 +228,185 @@ def _fused_fwd_kernel_call(
     return out5.reshape(B, H * s, W * s, c_final), z5
 
 
+def _pick_tile_h_bwd(
+    h: int, w: int, cout: int, c_final_s: int, with_head: bool, el: int
+) -> int:
+    """Tile-height picker for the epilogue-backward kernel: budgets the
+    double-buffered z5/ct (+out) input tiles and the d_conv output tile."""
+    budget = 12 * 1024 * 1024
+    best = 1
+    for th in range(1, h + 1):
+        if h % th:
+            continue
+        z_in = 2 * th * w * cout * el
+        ct_in = 2 * th * w * c_final_s * (4 if with_head else el)
+        out_in = 2 * th * w * c_final_s * 4 if with_head else 0
+        d_out = 2 * th * w * cout * el
+        scratch = 2 * th * w * cout * 4  # f32 intermediates
+        if z_in + ct_in + out_in + d_out + scratch <= budget:
+            best = th
+        else:
+            break
+    return best
+
+
+def _fused_bwd_kernel_call(
+    z5: jnp.ndarray,
+    ct: jnp.ndarray,
+    out: Optional[jnp.ndarray],
+    head_w: Optional[jnp.ndarray],
+    stride: int,
+    act: str,
+    squash: str,
+    compute_dtype,
+    interpret: bool,
+):
+    """Fused epilogue backward for one trailing stage.
+
+    Inputs: z5 [B,H,s,W,s*C] pre-activation (as the forward kernel wrote
+    it), ct — the incoming cotangent viewed shuffle-major
+    [B,H,s,W,s*c_final] — and, with a head, the saved squashed output in
+    the same 5D view plus the 1x1 head weight.
+
+    Returns (d_conv [B,H,W,Cout] in the PERMUTED channel order,
+             d_b_part [B,H/TH,Cout] f32 partials,
+             d_hw_part [B,H/TH,C,c_final] f32 partials | None,
+             d_hb_part [B,H/TH,c_final] f32 partials | None).
+
+    Everything the XLA backward ran as 4-6 serial full-resolution kernels
+    (squash' chain, head grads, activation VJP, the (s,W) transpose, the
+    bias reduction) happens on one VMEM tile per grid step.
+    """
+    B, H, s, W, sC = z5.shape
+    C = sC // s
+    Cout = s * s * C
+    with_head = head_w is not None
+    c_final = head_w.shape[-1] if with_head else C
+
+    hw = head_w[0, 0].astype(jnp.float32) if with_head else jnp.zeros((1, 1))
+    el = jnp.dtype(compute_dtype).itemsize
+    TH = _pick_tile_h_bwd(H, W, Cout, s * c_final, with_head, el)
+    grid = (B, H // TH)
+    n_tiles = H // TH
+
+    def kernel(z_ref, ct_ref, out_ref, hw_ref, dconv_ref, db_ref, dhw_ref, dhb_ref):
+        d_cols = []
+        dhw_acc = jnp.zeros((C, c_final), jnp.float32) if with_head else None
+        dhb_acc = jnp.zeros((1, c_final), jnp.float32) if with_head else None
+        for i in range(s):
+            z_i = z_ref[0, :, i].reshape(TH * W, sC)
+            if with_head:
+                ct_i = ct_ref[0, :, i].reshape(TH * W, s * c_final)
+                out_i = out_ref[0, :, i].reshape(TH * W, s * c_final)
+                d_a_parts = []
+                for j in range(s):
+                    ct_ij = ct_i[:, j * c_final : (j + 1) * c_final].astype(
+                        jnp.float32
+                    )
+                    o_ij = out_i[:, j * c_final : (j + 1) * c_final]
+                    if squash == "sigmoid":
+                        d_h = ct_ij * o_ij * (1.0 - o_ij)
+                    else:  # (tanh+1)/2
+                        u = 2.0 * o_ij - 1.0
+                        d_h = ct_ij * 0.5 * (1.0 - u * u)
+                    a_ij = activation(
+                        z_i[:, j * C : (j + 1) * C].astype(jnp.float32), act
+                    )
+                    dhw_acc = dhw_acc + jnp.dot(
+                        a_ij.T, d_h, preferred_element_type=jnp.float32
+                    )
+                    dhb_acc = dhb_acc + jnp.sum(d_h, axis=0, keepdims=True)
+                    d_a_parts.append(
+                        jnp.dot(
+                            d_h.astype(compute_dtype),
+                            hw_ref[:].T.astype(compute_dtype),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                d_a_i = jnp.concatenate(d_a_parts, axis=-1)
+            else:
+                d_a_i = ct_ref[0, :, i].reshape(TH * W, sC).astype(jnp.float32)
+            # activation VJP on the tile (the primal act(z) fuses in; at
+            # b=1 transcendentals are free — BENCHMARKS round 2)
+            _, act_vjp = jax.vjp(
+                lambda t: activation(t, act), z_i.astype(jnp.float32)
+            )
+            (d_z_i,) = act_vjp(d_a_i)
+            d_cols.append(d_z_i)
+        # inverse of the forward's per-i column writes: d_acc's column
+        # block i is tile-row-major d_z for sub-row i — the (s, W)
+        # "transpose" happens here as a pure VMEM concat, never in HBM
+        d_acc = jnp.concatenate(d_cols, axis=-1)  # [TH*W, Cout] f32
+        dconv_ref[0] = d_acc.reshape(TH, W, Cout).astype(dconv_ref.dtype)
+        db_ref[0, 0] = jnp.sum(d_acc, axis=0, dtype=jnp.float32).reshape(
+            1, Cout
+        )
+        if with_head:
+            dhw_ref[0, 0] = dhw_acc[None]
+            dhb_ref[0, 0] = dhb_acc
+
+    ct5 = ct.reshape(B, H, s, W, s * c_final)
+    out5 = (
+        out.reshape(B, H, s, W, s * c_final)
+        if with_head
+        else jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+    )
+    tile = lambda *shape: pl.BlockSpec(  # noqa: E731
+        (1, TH, *shape), lambda bi, ti: (bi, ti, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = [
+        pl.BlockSpec(
+            (1, TH, W, Cout), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, Cout), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, C, c_final), lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, c_final), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, W, Cout), compute_dtype),
+        jax.ShapeDtypeStruct((B, n_tiles, 1, Cout), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_tiles, 1, C, c_final), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_tiles, 1, c_final), jnp.float32),
+    ]
+    in_specs = [
+        tile(s, W, sC),
+        tile(s, W, s * c_final),
+        tile(s, W, s * c_final) if with_head else full,
+        full,
+    ]
+    d_conv, d_b_part, d_hw_part, d_hb_part = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=outs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * (s * s) * C * (2 * c_final if with_head else 1),
+            bytes_accessed=2 * z5.size * el + B * H * W * Cout * el,
+            transcendentals=B * H * W * Cout,
+        ),
+        interpret=interpret,
+    )(z5, ct5.astype(jnp.float32 if with_head else compute_dtype), out5, hw)
+    if not with_head:
+        d_hw_part = d_hb_part = None
+    return d_conv, d_b_part, d_hw_part, d_hb_part
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_stage_train(
     x, w, b, head_w, head_b, stride: int, act: str, squash: str, cdt_name: str
@@ -250,6 +439,35 @@ def _fst_bwd(stride, act, squash, cdt_name, res, ct):
     Cout = w.shape[-1]
     C = Cout // (s * s)
     with_head = head_w is not None
+    perm = shuffle_weight_permutation(Cout, s)
+
+    if FUSED_BWD:
+        # ONE kernel for the whole epilogue backward (BENCHMARKS "b=1
+        # training roofline": the XLA chain below is 4-6 serial kernels,
+        # each paying the ~1 ms per-dispatch floor at b=1)
+        d_conv_w2, d_b_part, d_hw_part, d_hb_part = _fused_bwd_kernel_call(
+            z5, ct, out if with_head else None, head_w,
+            stride, act, squash, cdt, INTERPRET,
+        )
+
+        def conv_primal_f(xx, ww2):
+            return jax.lax.conv_general_dilated(
+                xx.astype(cdt), ww2.astype(cdt), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        _, conv_vjp = jax.vjp(conv_primal_f, x, w[..., perm])
+        d_x, d_w2 = conv_vjp(d_conv_w2.astype(cdt))
+        d_w = jnp.zeros_like(d_w2).at[..., perm].set(d_w2)
+        d_b = jnp.zeros((Cout,), jnp.float32).at[perm].set(
+            jnp.sum(d_b_part, axis=(0, 1, 2))
+        )
+        if with_head:
+            d_hw = jnp.sum(d_hw_part, axis=(0, 1, 2)).reshape(head_w.shape)
+            d_hb = jnp.sum(d_hb_part, axis=(0, 1, 2))
+        else:
+            d_hw = d_hb = None
+        return (d_x.astype(x.dtype), d_w, d_b, d_hw, d_hb)
 
     # pre-activation in logical NHWC at full resolution (free bitcast).
     # The whole elementwise chain runs in the COMPUTE dtype — the XLA path

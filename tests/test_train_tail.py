@@ -153,3 +153,42 @@ def test_generator_train_fwd_and_grads_match_xla_path(monkeypatch):
     g_off = jax.grad(lambda p: loss(p, off))(params)
     for a, c in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+@pytest.mark.parametrize("th1", [False, True])
+def test_fused_bwd_matches_xla_bwd(monkeypatch, th1):
+    """The round-4 fused epilogue-backward kernel (FUSED_BWD) equals the
+    XLA-chain backward it replaces, for both tile-height forms:
+
+    - exactly (1e-5) at f32, where neither path rounds between ops
+    - at bf16 (the flagship dtype) it must be AT LEAST as close to the f32
+      ground truth as the XLA-bf16 chain is (the kernel keeps the whole
+      elementwise chain in f32 on-tile, so it is usually closer)
+    """
+    if th1:
+        monkeypatch.setattr(tt, "_pick_tile_h_bwd", lambda *a, **k: 1)
+    x, w, b, hw, hb = _mk(seed=7)
+    ct = jax.random.normal(jax.random.PRNGKey(17), (2, 16, 32, 3))
+
+    def loss(cdt):
+        def f(x, w, b, hw, hb):
+            return jnp.sum(
+                fused_stage_train(x, w, b, hw, hb, 2, "swish", "tanh", cdt) * ct
+            )
+
+        return f
+
+    argnums = (0, 1, 2, 3, 4)
+    monkeypatch.setattr(tt, "FUSED_BWD", False)
+    g_true = jax.grad(loss("float32"), argnums=argnums)(x, w, b, hw, hb)
+    g_xla16 = jax.grad(loss("bfloat16"), argnums=argnums)(x, w, b, hw, hb)
+    monkeypatch.setattr(tt, "FUSED_BWD", True)
+    g_fused = jax.grad(loss("float32"), argnums=argnums)(x, w, b, hw, hb)
+    g_fused16 = jax.grad(loss("bfloat16"), argnums=argnums)(x, w, b, hw, hb)
+
+    for a, c in zip(g_fused, g_true):  # f32: exact parity
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+    for gf, gx, gt in zip(g_fused16, g_xla16, g_true):
+        dev_f = float(jnp.max(jnp.abs(gf - gt)))
+        dev_x = float(jnp.max(jnp.abs(gx - gt)))
+        assert dev_f <= dev_x * 1.5 + 1e-5, (dev_f, dev_x)
