@@ -127,9 +127,18 @@ def finetune(
     # (multi-process finetune keeps the per-step run_epoch, which shards
     # batches via process_local_slice)
     if cfg.fused_epoch and max_steps_per_epoch is None and jax.process_count() == 1:
-        from ..train.loop import make_epoch_fn, run_fused_epoch
+        from ..train.loop import (
+            make_epoch_fn, make_streaming_epoch_fn, run_fused_epoch,
+        )
 
-        epoch_fn = make_epoch_fn(
+        # out-of-core stores (host-spilled / on-disk) stream chunks instead
+        # of re-transferring the whole video every finetune epoch
+        maker = (
+            make_epoch_fn
+            if isinstance(store.frames, jax.Array)
+            else make_streaming_epoch_fn
+        )
+        epoch_fn = maker(
             ft_cfg, steps_per_epoch, with_msssim=False,
             param_transform=param_transform,
         )

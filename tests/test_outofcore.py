@@ -191,3 +191,21 @@ def test_train_cli_outofcore(tmp_path):
         assert "Epoch[2/2]" in log
     finally:
         os.chdir(cwd)
+
+
+def test_compress_finetune_from_host_store():
+    """PATH A (prune -> masked finetune) works from a host-resident store:
+    the finetune epoch streams chunks instead of replicating the video."""
+    from repnerv_tpu.compress.pipeline import compress
+    from repnerv_tpu.models.generator import init_generator
+
+    cfg = _cfg(hbm_budget_mb=1, stream_chunk_mb=0)
+    cfg = dataclasses.replace(
+        cfg, prune_ratio=0.5, quant_bit=8, finetune=True, finetune_epochs=2
+    )
+    frames, t = synthetic_video(8, 12, 16)
+    store = FrameStore(frames=frames, t=t)  # numpy = host-resident
+    params = init_generator(jax.random.PRNGKey(0), cfg.model)
+    out_params, report = compress(params, cfg, store, deploy_after=False)
+    assert report.finetune_epochs == 2
+    assert np.isfinite(report.bpp) and report.bpp > 0
