@@ -154,7 +154,19 @@ def shard_batch(frames, t, mesh: Mesh):
     arrays cannot build a global array across hosts.
     """
     data_size = dict(mesh.shape).get("data", 1)
-    if frames.shape[0] % max(data_size, 1) != 0:
+    n_proc = jax.process_count()
+    # frames holds this process's LOCAL rows; divisibility is a property of
+    # the GLOBAL batch (round-4 fix: checking the local count tripped the
+    # replicate fallback on every multi-process call, and its device_put
+    # asserts cross-process equality on data that legitimately differs)
+    global_rows = frames.shape[0] * n_proc
+    if global_rows % max(data_size, 1) != 0:
+        if n_proc > 1:
+            raise ValueError(
+                f"global batch {global_rows} is not divisible by the mesh "
+                f"data axis ({data_size}); replication fallback is "
+                "single-process only — pick a divisible batch_size"
+            )
         # indivisible batch (odd batch_size, or an epoch's ragged tail
         # batch): replicate instead of crashing — each device computes the
         # full batch, gradients are identical, semantics unchanged.  The
@@ -163,7 +175,7 @@ def shard_batch(frames, t, mesh: Mesh):
         s = NamedSharding(mesh, P())
         return jax.device_put(frames, s), jax.device_put(jnp.asarray(t), s)
     s = NamedSharding(mesh, batch_spec(mesh))
-    if jax.process_count() > 1:
+    if n_proc > 1:
         frames = jax.make_array_from_process_local_data(s, np.asarray(frames))
         t = jax.make_array_from_process_local_data(
             s, np.asarray(t, dtype=np.float32)
