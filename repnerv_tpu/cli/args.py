@@ -28,6 +28,11 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, default="data")  # ours (ref hardcodes ../data)
     p.add_argument("--synthetic_frames", type=int, default=0)
     p.add_argument("--synthetic_hw", type=int, nargs=2, default=[720, 1280])
+    p.add_argument(
+        "--content_seed", type=int, default=0,
+        help="content key of the synth/photo/corpus generator; suite video v "
+        "uses manual_seed+v, so this reproduces one suite video standalone",
+    )
     # out-of-core (ours; the reference streams per-item from disk instead,
     # model.py:52-70 — see DataConfig for the three-rung ladder)
     p.add_argument("--hbm_budget_mb", type=int, default=-1)
@@ -187,6 +192,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         batch_size=a.batchSize,
         synthetic_frames=a.synthetic_frames,
         synthetic_hw=tuple(a.synthetic_hw),
+        content_seed=a.content_seed,
         hbm_budget_mb=a.hbm_budget_mb,
         host_budget_mb=a.host_budget_mb,
         stream_chunk_mb=a.stream_chunk_mb,

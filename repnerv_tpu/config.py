@@ -100,6 +100,10 @@ class DataConfig:
     # Synthetic fallback when no frame directory exists (tests / benches).
     synthetic_frames: int = 0
     synthetic_hw: Tuple[int, int] = (720, 1280)
+    # Content key of the synthetic/photo/corpus generator: lets a SINGLE-video
+    # run (train/eval CLI) reproduce exactly the content the suite driver
+    # assigns video v (suite uses manual_seed + v, cli/suite_main.py).
+    content_seed: int = 0
     cache_device: bool = True  # keep the decoded video resident in HBM
     # Out-of-core controls (the reference never materializes the video — each
     # sample is a per-item PIL load, model.py:52-70 — so arbitrarily large

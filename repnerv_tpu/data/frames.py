@@ -521,7 +521,7 @@ def make_frame_store(cfg: DataConfig, *, split: str = "train") -> FrameStore:
         gen = {"photo": photo_video, "corpus": corpus_video}.get(
             cfg.dataset, synthetic_video
         )
-        frames, t = gen(cfg.synthetic_frames, h, w)
+        frames, t = gen(cfg.synthetic_frames, h, w, seed=cfg.content_seed)
     else:
         raise FileNotFoundError(
             f"frame dir {path} not found and synthetic_frames == 0"

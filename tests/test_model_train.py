@@ -424,3 +424,12 @@ def test_corpus_video_classes():
                    cache_device=False)
     )
     assert store.frames.shape == (2, 16, 16, 3)
+
+    # --content_seed reproduces exactly the content the suite driver assigns
+    # video v (cli/suite_main.py uses manual_seed + v)
+    keyed = make_frame_store(
+        DataConfig(dataset="corpus", synthetic_frames=2, synthetic_hw=(16, 16),
+                   cache_device=False, content_seed=5)
+    )
+    direct, _ = corpus_video(2, 16, 16, seed=5)
+    np.testing.assert_array_equal(np.asarray(keyed.frames), direct)
