@@ -229,20 +229,30 @@ def _fused_fwd_kernel_call(
 
 
 def _pick_tile_h_bwd(
-    h: int, w: int, cout: int, c_final_s: int, with_head: bool, el: int
+    h: int, w: int, cout: int, s: int, c_final_s: int, with_head: bool, el: int
 ) -> int:
     """Tile-height picker for the epilogue-backward kernel: budgets the
-    double-buffered z5/ct (+out) input tiles and the d_conv output tile."""
-    budget = 12 * 1024 * 1024
+    double-buffered z5/ct (+out) input tiles, the d_conv output tile, and
+    the kernel body's scoped-stack scratch.
+
+    The scratch term is calibrated against Mosaic's own accounting: the
+    on-chip compile of the 720p head stage at TH=3 (W=640, Cout=384)
+    reported a 26.27 MiB scoped-stack allocation against the backend's
+    16 MiB limit — ~9.3 live f32 copies of the [TH*W, Cout] tile (z_i
+    f32 casts, the act-VJP primal/cotangent pair per sub-row, d_cols,
+    the d_acc concat and its cast).  Charging 10 copies keeps every
+    shape under the limit with margin (the same stage lands at TH=1,
+    ~8.8 MiB scoped)."""
+    budget = 14 * 1024 * 1024
     best = 1
     for th in range(1, h + 1):
         if h % th:
             continue
         z_in = 2 * th * w * cout * el
-        ct_in = 2 * th * w * c_final_s * (4 if with_head else el)
-        out_in = 2 * th * w * c_final_s * 4 if with_head else 0
+        ct_in = 2 * th * w * s * c_final_s * (4 if with_head else el)
+        out_in = 2 * th * w * s * c_final_s * 4 if with_head else 0
         d_out = 2 * th * w * cout * el
-        scratch = 2 * th * w * cout * 4  # f32 intermediates
+        scratch = 10 * th * w * cout * 4  # f32 body intermediates (see doc)
         if z_in + ct_in + out_in + d_out + scratch <= budget:
             best = th
         else:
@@ -285,7 +295,7 @@ def _fused_bwd_kernel_call(
 
     hw = head_w[0, 0].astype(jnp.float32) if with_head else jnp.zeros((1, 1))
     el = jnp.dtype(compute_dtype).itemsize
-    TH = _pick_tile_h_bwd(H, W, Cout, s * c_final, with_head, el)
+    TH = _pick_tile_h_bwd(H, W, Cout, s, s * c_final, with_head, el)
     grid = (B, H // TH)
     n_tiles = H // TH
 
