@@ -81,8 +81,28 @@ def make_suite_epoch_fn(
     grouped conv along the group axis (it emits an invalid conv when the
     video axis is sharded); inside a shard_map body the group count is the
     LOCAL video count, which never crosses a device boundary.
+
+    Pallas kernels are forced OFF here, same reason as
+    ``sharding.maybe_disable_pallas``: the body is vmapped over the local
+    video axis, and the Mosaic batching rule turns the fused train tail's
+    scalar-ish operands (head bias et al.) into untileable BlockSpecs —
+    on-chip lowering fails with "block shape (Squeezed(), Blocked(3))"
+    whenever a device holds more than one video.  The XLA step is the
+    right trade anyway: the whole point of parallel mode is batching the
+    dispatches across videos, which already amortizes the latency floor
+    the Pallas tail exists to dodge.
     """
-    step_fn = build_train_step_fn(cfg, steps_per_epoch, with_msssim)
+    import dataclasses
+
+    xla_cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, use_pallas_train=False, use_pallas_decode=False
+        ),
+    )
+    step_fn = build_train_step_fn(
+        xla_cfg, steps_per_epoch, with_msssim, pallas_ok=False
+    )
 
     def one_video_epoch(state: TrainState, video_u8, perm, t_all):
         def body(st, rows):
