@@ -243,14 +243,19 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         epoch_fn = make_suite_epoch_fn(
             cfg, steps, mesh=mesh, with_msssim=with_msssim
         )
+        early_epoch = max(cfg.epochs // 5, 1)
+        train_early = train_final = None
         for epoch in range(cfg.epochs):
             states, m = run_suite_epoch(
                 states, epoch_fn, videos, t_all, cfg, epoch, steps, mesh,
                 n_frames=n_frames_list,
             )
+            if epoch + 1 == early_epoch:
+                train_early = [float(p[-1]) for p in m["psnr"]]
             if epoch % max(cfg.print_freq // steps, 1) == 0 or epoch == cfg.epochs - 1:
                 ps = " ".join(f"{p[-1]:.2f}" for p in m["psnr"])
                 print(f"epoch {epoch + 1}/{cfg.epochs} per-video PSNR: {ps}")
+        train_final = [float(p[-1]) for p in m["psnr"]]
         per_video_params = [
             extract_video_params(states, v) for v in range(n_videos)
         ]
@@ -266,6 +271,8 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         # traced into the LR schedule (build_train_step_fn), so a short
         # video reusing a longer video's fn would pace its cosine wrong.
         epoch_fns: dict = {}
+        early_epoch = max(cfg.epochs // 5, 1)
+        train_early, train_final = [], []
         for v, store in enumerate(stores):
             steps_v = max(store.num_samples // b, 1)
             if steps_v not in epoch_fns:
@@ -279,6 +286,9 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
                 state, m = run_fused_epoch(
                     state, epoch_fns[steps_v], store, vcfg, epoch
                 )
+                if epoch + 1 == early_epoch:
+                    train_early.append(float(m.psnr[-1]))
+            train_final.append(float(m.psnr[-1]))
             print(
                 f"video {v}: final train PSNR {m.psnr[-1]:.2f} "
                 f"MS-SSIM {m.msssim[-1]:.4f}"
@@ -293,6 +303,26 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         _measure_video(p, s, cfg, v, eval_steps)
         for v, (p, s) in enumerate(zip(per_video_params, stores))
     ]
+    # Divergence detector: a healthy cosine fit never ends below its
+    # 20%-of-schedule train PSNR.  The 150-epoch 1080p corpus suite had one
+    # video collapse to 6.96 dB from an unlucky init draw while the SAME
+    # content trained standalone to 35.85 dB (BENCHMARKS "MRI variant-1
+    # collapse") — flag it loudly and in the JSON instead of letting a
+    # silent outlier poison the suite mean.
+    if train_early and train_final and cfg.epochs >= 10:
+        for v, r in enumerate(rows):
+            r["train_psnr"] = train_final[v]
+            if train_final[v] < train_early[v]:
+                r["diverged"] = True
+                print(
+                    f"WARNING: video {v} diverged — train PSNR fell from "
+                    f"{train_early[v]:.2f} dB (epoch {early_epoch}) to "
+                    f"{train_final[v]:.2f} dB at the end.  This is an "
+                    f"unlucky init draw, not content difficulty: refit "
+                    f"this video with a different --manual_seed, or "
+                    f"reproduce it standalone via --content_seed "
+                    f"{cfg.manual_seed + v}."
+                )
     result = {
         "mode": mode,
         "n_videos": n_videos,
