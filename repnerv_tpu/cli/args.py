@@ -33,6 +33,13 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
         help="content key of the synth/photo/corpus generator; suite video v "
         "uses manual_seed+v, so this reproduces one suite video standalone",
     )
+    p.add_argument(
+        "--content_motion", default="normal",
+        choices=["normal", "slow", "static"],
+        help="camera-motion profile of the photo/corpus generators; the "
+        "slow/static profiles isolate temporal bandwidth from spatial "
+        "capacity (BENCHMARKS 'text-class floor')",
+    )
     # out-of-core (ours; the reference streams per-item from disk instead,
     # model.py:52-70 — see DataConfig for the three-rung ladder)
     p.add_argument("--hbm_budget_mb", type=int, default=-1)
@@ -193,6 +200,7 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         synthetic_frames=a.synthetic_frames,
         synthetic_hw=tuple(a.synthetic_hw),
         content_seed=a.content_seed,
+        content_motion=getattr(a, "content_motion", "normal"),
         hbm_budget_mb=a.hbm_budget_mb,
         host_budget_mb=a.host_budget_mb,
         stream_chunk_mb=a.stream_chunk_mb,

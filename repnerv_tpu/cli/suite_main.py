@@ -175,7 +175,112 @@ def _measure_video(
     return row
 
 
-def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dict:
+def flag_divergent(
+    train_early: list,
+    train_final: list,
+    *,
+    spread_db: float = 12.0,
+    floor_db: float = 8.0,
+) -> list:
+    """Indices of suite videos whose training collapsed.
+
+    Three tests, any of which flags (the 150-epoch 1080p corpus suite
+    shipped a video at 6.96 dB next to its class twin at 35.86 — an init
+    collapse the original ``final < early`` test would MISS whenever the
+    collapse happens before the 20%-of-schedule snapshot, because then
+    final ~= early; see BENCHMARKS "MRI variant-1 collapse"):
+
+    * late collapse:  final train PSNR fell below the 20%-of-schedule
+      PSNR (a healthy cosine fit is monotone-ish after warmup) — with a
+      0.1 dB tolerance so a saturated flat fit isn't flagged on bf16 noise;
+    * early collapse: final is an absolute outlier, > ``spread_db`` below
+      the suite median (content classes legitimately spread ~24 dB at
+      fixed capacity, so the default is wide);
+    * sanity floor:   final below ``floor_db`` — under random-output PSNR
+      for natural content, no legitimate class sits there.
+    """
+    if not train_final:
+        return []
+    med = float(np.median(train_final))
+    flagged = []
+    for v, fin in enumerate(train_final):
+        early = train_early[v] if v < len(train_early) else None
+        late = early is not None and fin < early - 0.1
+        if late or fin < med - spread_db or fin < floor_db:
+            flagged.append(v)
+    return flagged
+
+
+def _fit_one(cfg, store, key, v, epoch_fns, with_msssim, early_epoch):
+    """One sequential video fit; returns (host params, early, final PSNR).
+
+    ``epoch_fns`` memoizes one jitted epoch fn per DISTINCT step count
+    (equal-length suites share one — no per-video retrace).  steps_per_epoch
+    is traced into the LR schedule (build_train_step_fn), so a short video
+    reusing a longer video's fn would pace its cosine wrong."""
+    b = cfg.data.batch_size
+    steps_v = max(store.num_samples // b, 1)
+    if steps_v not in epoch_fns:
+        epoch_fns[steps_v] = make_epoch_fn(cfg, steps_v, with_msssim=with_msssim)
+    state = init_train_state(key, cfg)
+    # per-video seed offset matches parallel/suite.py suite_perms
+    vcfg = dataclasses.replace(cfg, manual_seed=cfg.manual_seed + v)
+    early = final = None
+    for epoch in range(cfg.epochs):
+        state, m = run_fused_epoch(state, epoch_fns[steps_v], store, vcfg, epoch)
+        if epoch + 1 == early_epoch:
+            early = float(m.psnr[-1])
+    if cfg.epochs > 0:
+        final = float(m.psnr[-1])
+    return jax.tree.map(np.asarray, state.params), early, final
+
+
+def _refit_flagged(
+    flagged, per_video_params, train_early, train_final,
+    stores, cfg, vkeys, epoch_fns, with_msssim, early_epoch, max_refits,
+):
+    """Refit collapsed videos with fresh init keys (bounded retries).
+
+    The reference's per-video UVG workflow makes a rerun a manual shell
+    invocation (README.md:63-111); here a flagged video is automatically
+    refit from ``fold_in(vkeys[v], attempt)`` — a different draw than both
+    the original AND the standalone ``--content_seed`` repro — keeping the
+    best final train PSNR across attempts.  Returns per-video refit info."""
+    info = {}
+    for v in flagged:
+        best_final, best_params = train_final[v], per_video_params[v]
+        best_early, attempts = train_early[v], 0
+        for attempt in range(1, max_refits + 1):
+            attempts = attempt
+            key = jax.random.fold_in(vkeys[v], 1000 + attempt)
+            params, early, final = _fit_one(
+                cfg, stores[v], key, v, epoch_fns, with_msssim, early_epoch
+            )
+            print(
+                f"refit video {v} attempt {attempt}: train PSNR "
+                f"{final:.2f} dB (was {train_final[v]:.2f})"
+            )
+            if final is not None and final > best_final:
+                best_final, best_params, best_early = final, params, early
+            trial_final = list(train_final)
+            trial_early = list(train_early)
+            trial_final[v], trial_early[v] = best_final, best_early
+            if v not in flag_divergent(trial_early, trial_final):
+                break
+        info[v] = {
+            "initial_train_psnr": train_final[v],
+            "refit_train_psnr": best_final,
+            "attempts": attempts,
+        }
+        per_video_params[v] = best_params
+        train_final[v], train_early[v] = best_final, best_early
+    return info
+
+
+def run_suite(
+    cfg: TrainConfig, n_videos: int, mode: str, suite_out: str,
+    max_refits: int = 2,
+) -> dict:
     from ..utils.misc import enable_compilation_cache
 
     enable_compilation_cache()
@@ -245,6 +350,7 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         )
         early_epoch = max(cfg.epochs // 5, 1)
         train_early = train_final = None
+        m = None
         for epoch in range(cfg.epochs):
             states, m = run_suite_epoch(
                 states, epoch_fn, videos, t_all, cfg, epoch, steps, mesh,
@@ -255,10 +361,16 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
             if epoch % max(cfg.print_freq // steps, 1) == 0 or epoch == cfg.epochs - 1:
                 ps = " ".join(f"{p[-1]:.2f}" for p in m["psnr"])
                 print(f"epoch {epoch + 1}/{cfg.epochs} per-video PSNR: {ps}")
-        train_final = [float(p[-1]) for p in m["psnr"]]
+        train_final = (
+            [float(p[-1]) for p in m["psnr"]] if m is not None else None
+        )
         per_video_params = [
             extract_video_params(states, v) for v in range(n_videos)
         ]
+        vkeys = jax.random.split(
+            jax.random.PRNGKey(cfg.manual_seed), len(stores)
+        )
+        epoch_fns: dict = {}
     else:
         per_video_params = []
         # same per-video keys as parallel/suite.py init_suite_states, so the
@@ -266,35 +378,51 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         vkeys = jax.random.split(
             jax.random.PRNGKey(cfg.manual_seed), len(stores)
         )
-        # one jitted epoch fn per DISTINCT step count (equal-length suites
-        # share one — no per-video retrace/recompile).  steps_per_epoch is
-        # traced into the LR schedule (build_train_step_fn), so a short
-        # video reusing a longer video's fn would pace its cosine wrong.
-        epoch_fns: dict = {}
+        epoch_fns = {}
         early_epoch = max(cfg.epochs // 5, 1)
         train_early, train_final = [], []
         for v, store in enumerate(stores):
-            steps_v = max(store.num_samples // b, 1)
-            if steps_v not in epoch_fns:
-                epoch_fns[steps_v] = make_epoch_fn(
-                    cfg, steps_v, with_msssim=with_msssim
-                )
-            state = init_train_state(vkeys[v], cfg)
-            # per-video seed offset matches parallel/suite.py suite_perms
-            vcfg = dataclasses.replace(cfg, manual_seed=cfg.manual_seed + v)
-            for epoch in range(cfg.epochs):
-                state, m = run_fused_epoch(
-                    state, epoch_fns[steps_v], store, vcfg, epoch
-                )
-                if epoch + 1 == early_epoch:
-                    train_early.append(float(m.psnr[-1]))
-            train_final.append(float(m.psnr[-1]))
-            print(
-                f"video {v}: final train PSNR {m.psnr[-1]:.2f} "
-                f"MS-SSIM {m.msssim[-1]:.4f}"
+            params, early, final = _fit_one(
+                cfg, store, vkeys[v], v, epoch_fns, with_msssim, early_epoch
             )
-            per_video_params.append(
-                jax.tree.map(np.asarray, state.params)
+            train_early.append(early)
+            train_final.append(final)
+            if final is not None:
+                print(f"video {v}: final train PSNR {final:.2f}")
+            per_video_params.append(params)
+        if cfg.epochs == 0:
+            train_early = train_final = None
+
+    # Divergence detection + bounded auto-refit BEFORE measurement, so no
+    # headline artifact carries a collapsed fit (the 150-epoch 1080p corpus
+    # suite shipped video 4 at 6.96 dB from an unlucky init draw while the
+    # SAME content trained standalone to 35.85 dB — BENCHMARKS "MRI
+    # variant-1 collapse").
+    refit_info = {}
+    detect = bool(train_early and train_final) and cfg.epochs >= 10
+    if detect:
+        flagged = flag_divergent(train_early, train_final)
+        for v in flagged:
+            synthetic = cfg.data.dataset in ("synth", "photo", "corpus") and (
+                cfg.data.dataset == "synth" or cfg.data.synthetic_frames > 0
+            )
+            hint = (
+                f"; reproduce it standalone via --content_seed "
+                f"{cfg.manual_seed + v}" if synthetic else ""
+            )
+            print(
+                f"WARNING: video {v} collapsed — train PSNR "
+                f"{train_final[v]:.2f} dB at the end vs "
+                f"{train_early[v]:.2f} dB at epoch {early_epoch} "
+                f"(suite median {float(np.median(train_final)):.2f}).  "
+                f"Likely an init/content interaction; refitting with a "
+                f"fresh init key (up to {max_refits} attempts){hint}."
+            )
+        if flagged and max_refits > 0:
+            refit_info = _refit_flagged(
+                flagged, per_video_params, train_early, train_final,
+                stores, cfg, vkeys, epoch_fns, with_msssim, early_epoch,
+                max_refits,
             )
 
     fit_s = time.time() - t0
@@ -303,26 +431,14 @@ def run_suite(cfg: TrainConfig, n_videos: int, mode: str, suite_out: str) -> dic
         _measure_video(p, s, cfg, v, eval_steps)
         for v, (p, s) in enumerate(zip(per_video_params, stores))
     ]
-    # Divergence detector: a healthy cosine fit never ends below its
-    # 20%-of-schedule train PSNR.  The 150-epoch 1080p corpus suite had one
-    # video collapse to 6.96 dB from an unlucky init draw while the SAME
-    # content trained standalone to 35.85 dB (BENCHMARKS "MRI variant-1
-    # collapse") — flag it loudly and in the JSON instead of letting a
-    # silent outlier poison the suite mean.
-    if train_early and train_final and cfg.epochs >= 10:
+    if detect:
+        still_bad = set(flag_divergent(train_early, train_final))
         for v, r in enumerate(rows):
             r["train_psnr"] = train_final[v]
-            if train_final[v] < train_early[v]:
+            if v in still_bad:
                 r["diverged"] = True
-                print(
-                    f"WARNING: video {v} diverged — train PSNR fell from "
-                    f"{train_early[v]:.2f} dB (epoch {early_epoch}) to "
-                    f"{train_final[v]:.2f} dB at the end.  This is an "
-                    f"unlucky init draw, not content difficulty: refit "
-                    f"this video with a different --manual_seed, or "
-                    f"reproduce it standalone via --content_seed "
-                    f"{cfg.manual_seed + v}."
-                )
+            if v in refit_info:
+                r["refit"] = refit_info[v]
     result = {
         "mode": mode,
         "n_videos": n_videos,
@@ -351,9 +467,14 @@ def main(argv=None):
         help="parallel = one fit per device over a ('video',) mesh",
     )
     p.add_argument("--suite_out", default="results/uvg_suite.json")
+    p.add_argument(
+        "--max_refits", type=int, default=2,
+        help="bounded fresh-init retries for videos the divergence "
+        "detector flags (0 disables auto-refit)",
+    )
     a = p.parse_args(argv)
     cfg = args_to_config(a)
-    return run_suite(cfg, a.n_videos, a.suite_mode, a.suite_out)
+    return run_suite(cfg, a.n_videos, a.suite_mode, a.suite_out, a.max_refits)
 
 
 if __name__ == "__main__":

@@ -104,6 +104,12 @@ class DataConfig:
     # run (train/eval CLI) reproduce exactly the content the suite driver
     # assigns video v (suite uses manual_seed + v, cli/suite_main.py).
     content_seed: int = 0
+    # Camera-motion profile of the synthetic/photo/corpus generators:
+    # "normal" = the standard pan/zoom; "slow" = 1/8 pan amplitude + 0.4%
+    # zoom breath; "static" = frozen camera (every frame identical).  The
+    # slow/static profiles isolate temporal bandwidth from spatial capacity
+    # in the text-class floor analysis (BENCHMARKS "text-class floor").
+    content_motion: str = "normal"
     cache_device: bool = True  # keep the decoded video resident in HBM
     # Out-of-core controls (the reference never materializes the video — each
     # sample is a per-item PIL load, model.py:52-70 — so arbitrarily large

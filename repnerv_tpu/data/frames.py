@@ -243,7 +243,7 @@ class FrameStore:
 
 
 def photo_video(
-    n_frames: int, h: int, w: int, seed: int = 0
+    n_frames: int, h: int, w: int, seed: int = 0, motion: str = "normal"
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Real-photograph video: smooth camera pan/zoom over a mirror-tiled
     real photo (matplotlib's bundled ``grace_hopper.jpg``, 600x512 RGB).
@@ -270,7 +270,9 @@ def photo_video(
     if (seed // 4) % 2:
         photo = photo[:, ::-1]
     canvas = _mirror_tile(photo, h, w)
-    return _camera_pan_video(canvas, n_frames, h, w, np.random.default_rng(seed))
+    return _camera_pan_video(
+        canvas, n_frames, h, w, np.random.default_rng(seed), motion=motion
+    )
 
 
 def _mirror_tile(photo: np.ndarray, h: int, w: int, max_zoom: float = 1.25) -> np.ndarray:
@@ -287,6 +289,14 @@ def _mirror_tile(photo: np.ndarray, h: int, w: int, max_zoom: float = 1.25) -> n
     return canvas
 
 
+_MOTION_PROFILES = {
+    # (pan fraction of frame size, zoom-breath amplitude)
+    "normal": (0.08, 0.03),
+    "slow": (0.01, 0.004),
+    "static": (0.0, 0.0),
+}
+
+
 def _camera_pan_video(
     canvas: np.ndarray,
     n_frames: int,
@@ -294,22 +304,27 @@ def _camera_pan_video(
     w: int,
     rng: np.random.Generator,
     max_zoom: float = 1.25,
+    motion: str = "normal",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Smooth pan/zoom camera over a canvas -> ([N,h,w,3] uint8, t [N]).
 
     Camera-realistic amplitudes: ~5 px/frame pan at 132 frames and a +-3%
     zoom breath — adjacent-frame L1 lands near the synthetic video's
-    (~7/255), i.e. a normal pan shot, not an adversarial one."""
+    (~7/255), i.e. a normal pan shot, not an adversarial one.  ``motion``
+    picks a profile from _MOTION_PROFILES ("slow" ~1/8 amplitudes,
+    "static" freezes the camera) — used to separate temporal bandwidth
+    from spatial capacity in the text-class floor analysis."""
     from PIL import Image
 
+    pan_frac, zoom_amp = _MOTION_PROFILES[motion]
     ph = rng.uniform(0, 2 * np.pi, size=4)
     ch, cw = canvas.shape[:2]
     frames = np.empty((n_frames, h, w, 3), np.uint8)
-    pan_y, pan_x = 0.08 * h, 0.08 * w
+    pan_y, pan_x = pan_frac * h, pan_frac * w
     cy0, cx0 = (ch - int(h * max_zoom)) // 2, (cw - int(w * max_zoom)) // 2
     for n in range(n_frames):
         t = n / max(n_frames, 1)
-        zoom = 1.12 + 0.03 * np.sin(2 * np.pi * t + ph[0])
+        zoom = 1.12 + zoom_amp * np.sin(2 * np.pi * t + ph[0])
         crop_h, crop_w = int(h * zoom), int(w * zoom)
         y0 = int(cy0 + pan_y * np.sin(2 * np.pi * t + ph[1]))
         x0 = int(cx0 + pan_x * np.sin(2 * np.pi * t + ph[2]))
@@ -465,7 +480,7 @@ CORPUS_CLASSES = ("photo", "mri", "terrain", "text")
 
 
 def corpus_video(
-    n_frames: int, h: int, w: int, seed: int = 0
+    n_frames: int, h: int, w: int, seed: int = 0, motion: str = "normal"
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Diverse-content video corpus: seed k -> content class k % 4
     (photo / MRI / terrain / rendered text), with k // 4 keying the
@@ -484,7 +499,9 @@ def corpus_video(
         "text": _src_text,
     }[cls](variant)
     canvas = _mirror_tile(src, h, w)
-    return _camera_pan_video(canvas, n_frames, h, w, np.random.default_rng(seed))
+    return _camera_pan_video(
+        canvas, n_frames, h, w, np.random.default_rng(seed), motion=motion
+    )
 
 
 def make_frame_store(cfg: DataConfig, *, split: str = "train") -> FrameStore:
@@ -518,10 +535,16 @@ def make_frame_store(cfg: DataConfig, *, split: str = "train") -> FrameStore:
         frames, t = load_frame_dir(path, cfg.vid)
     elif cfg.synthetic_frames > 0:
         h, w = cfg.synthetic_hw
-        gen = {"photo": photo_video, "corpus": corpus_video}.get(
-            cfg.dataset, synthetic_video
-        )
-        frames, t = gen(cfg.synthetic_frames, h, w, seed=cfg.content_seed)
+        if cfg.dataset in ("photo", "corpus"):
+            gen = photo_video if cfg.dataset == "photo" else corpus_video
+            frames, t = gen(
+                cfg.synthetic_frames, h, w, seed=cfg.content_seed,
+                motion=cfg.content_motion,
+            )
+        else:
+            frames, t = synthetic_video(
+                cfg.synthetic_frames, h, w, seed=cfg.content_seed
+            )
     else:
         raise FileNotFoundError(
             f"frame dir {path} not found and synthetic_frames == 0"
