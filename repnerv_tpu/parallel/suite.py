@@ -91,6 +91,16 @@ def make_suite_epoch_fn(
     right trade anyway: the whole point of parallel mode is batching the
     dispatches across videos, which already amortizes the latency floor
     the Pallas tail exists to dodge.
+
+    The gate is deliberately unconditional, including the one-video-per-
+    device case where the size-1 vmap could in principle be squeezed out
+    and the Pallas tail kept: the measured cost of the XLA step is bounded
+    (parallel mode ran 1.41x slower than sequential on ONE chip at local
+    V=2, BENCHMARKS "Parallel suite mode on metal", and the fused tail's
+    step win on the current backend is ~4% — "fused epilogue backward"),
+    while a squeezed path would add a second Mosaic lowering shape that
+    only a multi-chip run can validate.  Sequential mode remains the
+    single-chip recommendation.
     """
     import dataclasses
 
