@@ -159,6 +159,16 @@ def build_parser(eval_mode: bool = False) -> argparse.ArgumentParser:
         help="first int8 block, counted from the end (-1 = last block only, "
         "-3 = last three); trades decode fps against quantization error",
     )
+    p.add_argument(
+        "--recover_drop_db", type=float, default=6.0,
+        help="in-run divergence guard: restore the best snapshot (fresh "
+        "optimizer) when an epoch's train PSNR falls this many dB below "
+        "the running best, or is NaN; <= 0 disables (train/recovery.py)",
+    )
+    p.add_argument(
+        "--max_recoveries", type=int, default=3,
+        help="retry budget of the in-run divergence guard",
+    )
     p.add_argument("--remat", action="store_true", help="rematerialize block activations in backward")
     p.add_argument("--profile", action="store_true", help="capture a JAX profiler trace of epoch 1")
     return p
@@ -239,6 +249,8 @@ def args_to_config(a: argparse.Namespace, eval_mode: bool = False) -> TrainConfi
         lr_frac_mode=a.lr_frac_mode,
         dump_images=a.dump_images,
         dump_gt=a.dump_gt,
+        recover_drop_db=getattr(a, "recover_drop_db", 6.0),
+        max_recoveries=getattr(a, "max_recoveries", 3),
         mesh_shape=tuple(a.mesh_shape),
         mesh_axes=tuple(a.mesh_axes),
         profile=a.profile,

@@ -225,13 +225,25 @@ def _fit_one(cfg, store, key, v, epoch_fns, with_msssim, early_epoch):
     state = init_train_state(key, cfg)
     # per-video seed offset matches parallel/suite.py suite_perms
     vcfg = dataclasses.replace(cfg, manual_seed=cfg.manual_seed + v)
+    # in-run half of the recovery story (train/recovery.py): stops a
+    # q5_text_static-style mid-training collapse from burning the rest of
+    # this video's schedule; the post-hoc flag+refit below stays as the
+    # cross-video outlier net
+    from ..train.recovery import DivergenceGuard
+
+    guard = DivergenceGuard(
+        cfg, jax.jit(lambda p: jax.tree.map(lambda x: x + 0, p)),
+        log=lambda msg: print(f"video {v}: {msg}"),
+    )
     early = final = None
     for epoch in range(cfg.epochs):
         state, m = run_fused_epoch(state, epoch_fns[steps_v], store, vcfg, epoch)
+        state, _ = guard.observe(epoch, float(m.psnr[-1]), state)
         if epoch + 1 == early_epoch:
             early = float(m.psnr[-1])
     if cfg.epochs > 0:
-        final = float(m.psnr[-1])
+        state, restored = guard.finalize(state)
+        final = guard.best_psnr if restored else float(m.psnr[-1])
     return jax.tree.map(np.asarray, state.params), early, final
 
 

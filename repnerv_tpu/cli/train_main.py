@@ -209,6 +209,12 @@ def run_training(cfg: TrainConfig) -> dict:
     # forces fresh output buffers (outputs never alias inputs without
     # donation), so the copy survives the next epoch's donated update.
     snap = jax.jit(lambda p: jax.tree.map(lambda x: x + 0, p))
+    # In-run collapse guard (SURVEY §5.3): restores the best on-device
+    # snapshot with fresh Adam moments when an epoch's train PSNR craters
+    # (train/recovery.py — motivated by two recorded mid-training collapses)
+    from ..train.recovery import DivergenceGuard
+
+    guard = DivergenceGuard(cfg, snap, log=lambda msg: log_line(outf, 0, msg))
     # (device_params, extra) pairs waiting for the next ckpt_freq boundary.
     # The reference writes latest/train_best(+deploy) .pth every improving
     # epoch (main_train.py:327-358) — local-disk cheap on a GPU box, but
@@ -249,6 +255,7 @@ def run_training(cfg: TrainConfig) -> dict:
             state, m = run_fused_epoch(state, train_step, store, cfg, epoch, max_steps=max_steps)
         else:
             state, m = run_epoch(state, train_step, store, cfg, epoch, max_steps=max_steps)
+        state, _ = guard.observe(epoch, float(m.psnr[-1]), state)
         is_train_best = m.psnr[-1] > bests["train_best_psnr"]
         bests["train_best_psnr"] = max(bests["train_best_psnr"], float(m.psnr[-1]))
         bests["train_best_msssim"] = max(bests["train_best_msssim"], float(m.msssim[-1]))
@@ -375,6 +382,25 @@ def run_training(cfg: TrainConfig) -> dict:
             {"params": state.params, "opt_state": state.opt_state, "step": int(state.step), "epoch": epoch + 1},
         )
 
+    state, restored = guard.finalize(state)
+    if restored:
+        # the final-epoch ckpt boundary just wrote a collapsed model_latest;
+        # supersede it with the restored endpoint (train_best already holds
+        # the same params — this keeps the two files consistent)
+        ckpt.save_pth(
+            os.path.join(outf, "model_latest.pth"),
+            jax.device_get(state.params),
+            cfg.model,
+            {"epoch": cfg.epochs, **bests},
+        )
+        if reparam:
+            dep_params, dep_cfg = generator_to_deploy(state.params, cfg.model)
+            ckpt.save_pth(
+                os.path.join(outf, "model_latest_deploy.pth"),
+                jax.device_get(dep_params),
+                dep_cfg,
+                {"epoch": cfg.epochs, **bests},
+            )
     if reparam:
         dep_params, _ = generator_to_deploy(state.params, cfg.model)
         log_line(outf, 0, f"Deploy Rep-Model Params: {param_count(dep_params) / 1e6:.3f}M")

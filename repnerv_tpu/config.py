@@ -189,6 +189,15 @@ class TrainConfig:
     dump_gt: bool = False  # also dump gt_{n}.png next to pred_{n}.png
     # (commented-out in the reference, main_eval.py:804)
 
+    # In-run divergence recovery (SURVEY §5.3, train/recovery.py): an epoch
+    # whose train PSNR is NaN or > recover_drop_db below the running best
+    # restores the best on-device snapshot with fresh optimizer moments
+    # (bounded retries), and the final state is never left collapsed.
+    # <= 0 disables.  Calibrated on two recorded collapses (BENCHMARKS
+    # "mid-training collapse"): healthy runs dip < ~1.5 dB, collapses > 20.
+    recover_drop_db: float = 6.0
+    max_recoveries: int = 3
+
     # TPU-specific
     profile: bool = False  # capture a JAX profiler trace of the first epoch
     fused_epoch: bool = True  # scan the whole epoch in one device dispatch
