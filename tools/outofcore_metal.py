@@ -44,9 +44,14 @@ PAPER = (
     "--ckpt_freq 1000 --eval_freq 1000"
 )
 
+# rank0.txt line shape (ops/metrics.py round_tensor emits bare
+# comma-joined floats, no brackets):
+#   [ts] Epoch[3/30] lr:4.2e-04 PSNR: 20.1,21.2 MSSSIM: 0.5,0.6 \
+#   Time/epoch: Current:3.31 Average:5.02
 EPOCH_RE = re.compile(
-    r"Epoch\[(\d+)/\d+\].*PSNR: \[([0-9.]+)(?:[^\]]*)\].*Current:([0-9.]+)"
+    r"Epoch\[(\d+)/\d+\].*?PSNR: ([0-9.,\-nan]+) .*?Current:([0-9.]+)"
 )
+EVAL_RE = re.compile(r"Eval at epoch \d+: PSNR ([0-9.,\-nan]+)")
 
 
 def dump_png_frames(out_dir: str, n: int = 132, h: int = 720, w: int = 1280):
@@ -65,6 +70,45 @@ def dump_png_frames(out_dir: str, n: int = 132, h: int = 720, w: int = 1280):
     return out_dir
 
 
+def parse_log(log: str) -> dict:
+    """Pull per-epoch seconds + final PSNRs out of a train log/rank0.txt."""
+    epochs_seen = []
+    for line in log.splitlines():
+        m = EPOCH_RE.search(line)
+        if m:
+            final_stage = float(m.group(2).split(",")[-1])
+            epochs_seen.append(
+                (int(m.group(1)), final_stage, float(m.group(3)))
+            )
+    row: dict = {}
+    if epochs_seen:
+        cur = [c for _, _, c in epochs_seen]
+        row.update(
+            epoch1_s=round(cur[0], 2),
+            steady_s_per_epoch=round(
+                float(sorted(cur[1:])[len(cur[1:]) // 2])
+                if len(cur) > 1 else cur[0], 3,
+            ),
+            epochs_seen=len(cur),
+            final_train_psnr=round(epochs_seen[-1][1], 3),
+        )
+    spill = [ln for ln in log.splitlines() if "frame store:" in ln]
+    if spill:
+        row["spill_msg"] = spill[0].strip()
+    ev = EVAL_RE.findall(log)
+    if ev:
+        row["final_eval_psnr"] = float(ev[-1].split(",")[-1])
+    return row
+
+
+def find_rank0(name: str) -> str | None:
+    base = os.path.join(REPO, "result", f"ooc_{name}")
+    for root, _, files in os.walk(base):
+        if "rank0.txt" in files:
+            return os.path.join(root, "rank0.txt")
+    return None
+
+
 def run_one(name: str, extra: str, epochs: int) -> dict:
     outf = f"ooc_{name}"
     cmd = (
@@ -80,17 +124,6 @@ def run_one(name: str, extra: str, epochs: int) -> dict:
     log = proc.stdout + proc.stderr
     tail = "\n".join(log.splitlines()[-25:])
     print(tail, flush=True)
-    epochs_seen = []
-    # the last PSNR element of each Epoch line is the final-stage value;
-    # EPOCH_RE grabs the first stage, so re-scan the raw lines for both
-    for line in log.splitlines():
-        m = EPOCH_RE.search(line)
-        if m:
-            psnrs = re.search(r"PSNR: \[([^\]]+)\]", line).group(1)
-            final_stage = float(psnrs.split(",")[-1])
-            epochs_seen.append(
-                (int(m.group(1)), final_stage, float(m.group(3)))
-            )
     row = {
         "rung": name,
         "cmd_extra": extra,
@@ -98,24 +131,30 @@ def run_one(name: str, extra: str, epochs: int) -> dict:
         "wall_s": round(wall, 1),
         "rc": proc.returncode,
     }
-    if epochs_seen:
-        cur = [c for _, _, c in epochs_seen]
-        row.update(
-            epoch1_s=round(cur[0], 2),
-            steady_s_per_epoch=round(
-                float(sorted(cur[1:])[len(cur[1:]) // 2]) if len(cur) > 1 else cur[0], 3
-            ),
-            final_train_psnr=round(epochs_seen[-1][1], 3),
-        )
-    spill = [
-        ln for ln in log.splitlines() if ln.startswith("frame store:")
-    ]
-    if spill:
-        row["spill_msg"] = spill[0]
-    ev = re.findall(r"Eval at epoch \d+: PSNR \[([^\]]+)\]", log)
-    if ev:
-        row["final_eval_psnr"] = float(ev[-1].split(",")[-1])
+    row.update(parse_log(log))
     return row
+
+
+def collect(epochs: int) -> list:
+    """Rebuild rows from the on-disk rank0.txt logs (the runs persist even
+    if the driving process died or its stdout parsing failed)."""
+    rows = []
+    extras = {
+        "resident": "--dataset photo",
+        "stream": "--dataset photo --hbm_budget_mb 256 --stream_chunk_mb 175",
+        "disk": "--dataset oocdisk --data_dir data --host_budget_mb 128 "
+                "--stream_chunk_mb 175",
+    }
+    for name, extra in extras.items():
+        p = find_rank0(name)
+        if p is None:
+            continue
+        with open(p) as f:
+            row = {"rung": name, "cmd_extra": extra, "epochs": epochs,
+                   "log": os.path.relpath(p, REPO)}
+            row.update(parse_log(f.read()))
+        rows.append(row)
+    return rows
 
 
 def main(argv=None):
@@ -123,12 +162,19 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--skip", default="")
     ap.add_argument(
+        "--collect", action="store_true",
+        help="skip running; rebuild the JSON from on-disk rank0.txt logs",
+    )
+    ap.add_argument(
         "--out", default=os.path.join(REPO, "results", "outofcore_metal.json")
     )
     args = ap.parse_args(argv)
     skip = set(args.skip.split(",")) if args.skip else set()
 
     rows = []
+    if args.collect:
+        rows = collect(args.epochs)
+        skip = {"resident", "stream", "disk"}
     if "resident" not in skip:
         rows.append(
             run_one("resident", "--dataset photo", args.epochs)
@@ -162,12 +208,15 @@ def main(argv=None):
         "device": None,
         "rows": rows,
     }
-    try:
-        import jax
+    if not args.collect:  # a TPU client would collide with in-flight runs
+        try:
+            import jax
 
-        out["device"] = str(jax.devices()[0])
-    except Exception:
-        pass
+            out["device"] = str(jax.devices()[0])
+        except Exception:
+            pass
+    else:
+        out["device"] = "TPU v5 lite0 (collected from rank0.txt logs)"
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

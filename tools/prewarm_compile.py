@@ -33,6 +33,10 @@ RECIPES = {
     "flagship720": ((720, 1280), "9_16_26", (5, 2, 2, 2, 2), 300, 132),
     "uvg1080_150": ((1080, 1920), "9_16_48", (5, 3, 2, 2, 2), 150, 96),
     "uvg1080_300": ((1080, 1920), "9_16_48", (5, 3, 2, 2, 2), 300, 96),
+    # out-of-core rungs 2/3 share one streaming-epoch graph (chunked scan,
+    # tools/outofcore_metal.py); warm it too so ladder runs start at
+    # steady state
+    "flagship720_stream": ((720, 1280), "9_16_26", (5, 2, 2, 2, 2), 30, 132),
 }
 
 
@@ -60,8 +64,25 @@ def prewarm(name: str) -> float:
         loss_type="Fusion6",
     )
     video, t = synthetic_video(frames, h, w, seed=0)
-    store = FrameStore(jnp.asarray(video), t, 1)
-    epoch_fn = make_epoch_fn(cfg, frames, with_msssim=True)
+    if name.endswith("_stream"):
+        # rung-2/3 graph: host-resident store + chunked streaming scan,
+        # stream_chunk_mb matched to tools/outofcore_metal.py (66-step
+        # chunks at 720p b=1) so the cache key is the one ladder runs hit
+        import dataclasses
+
+        from repnerv_tpu.train.loop import make_streaming_epoch_fn
+
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data, hbm_budget_mb=256, stream_chunk_mb=175
+            ),
+        )
+        store = FrameStore(video, t, 1)  # np array = host-resident
+        epoch_fn = make_streaming_epoch_fn(cfg, frames, with_msssim=True)
+    else:
+        store = FrameStore(jnp.asarray(video), t, 1)
+        epoch_fn = make_epoch_fn(cfg, frames, with_msssim=True)
     state = init_train_state(__import__("jax").random.PRNGKey(0), cfg)
     t0 = time.perf_counter()
     state, m = run_fused_epoch(state, epoch_fn, store, cfg, 0)
