@@ -99,3 +99,39 @@ def test_uvg_1080p_config_shapes():
     plan = stage_channels(cfg)
     assert plan[0] == (48, 48, 5)
     assert all(c >= 96 for _, c, _ in plan[1:])
+
+
+def test_outofcore_metal_log_parser():
+    """tools/outofcore_metal.py's collector must track the EXACT rank0.txt
+    line shape train_main emits (ops/metrics.py round_tensor: bare
+    comma-joined floats, no brackets) — a drifted format silently records
+    runs with no epoch data."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "ooc_metal", os.path.join(repo, "tools", "outofcore_metal.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from repnerv_tpu.ops.metrics import round_tensor
+
+    psnr = round_tensor(np.asarray([12.345, 13.456]), 2)
+    line1 = (
+        f"[2026/08/20 23:55:01] Epoch[1/30] lr:1.23e-04 PSNR: {psnr} "
+        "MSSSIM: 0.12,0.23 Time/epoch: Current:123.45 Average:123.45"
+    )
+    line2 = (
+        "[2026/08/20 23:55:05] Epoch[2/30] lr:2.23e-04 PSNR: 15.0,16.5 "
+        "MSSSIM: 0.2,0.3 Time/epoch: Current:3.31 Average:63.4"
+    )
+    spill = "frame store: video is 365 MiB, over the HBM pixel budget"
+    ev = f"Eval at epoch 30: PSNR {round_tensor(np.asarray([18.2, 19.9]), 2)}"
+    row = mod.parse_log("\n".join([line1, spill, line2, ev]))
+    assert row["epoch1_s"] == 123.45
+    assert row["steady_s_per_epoch"] == 3.31
+    assert row["final_train_psnr"] == 16.5
+    assert row["final_eval_psnr"] == 19.9
+    assert row["spill_msg"].startswith("frame store:")
